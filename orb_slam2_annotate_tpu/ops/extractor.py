@@ -1,0 +1,103 @@
+"""End-to-end ORB feature extraction for one frame.
+
+The TPU counterpart of ORBextractor::operator() (ORBextractor.cc:1119-1196):
+pyramid -> whole-level FAST -> NMS -> per-cell selection -> IC orientation
+-> blur -> rotated BRIEF -> rescale coordinates to level 0.  Everything is
+one jitted program per image size; all outputs have static shapes with a
+validity mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import fast, orb, pyramid, select
+
+
+class ExtractorConfig(NamedTuple):
+    n_features: int = 1024
+    n_levels: int = 8
+    scale: float = 1.2
+    th_fast_hi: float = 20.0
+    th_fast_lo: float = 7.0
+    # margin keeps orientation/descriptor patches inside each level
+    # (reference EDGE_THRESHOLD = 19, ORBextractor.cc:75)
+    margin: int = 19
+
+
+class Features(NamedTuple):
+    """Per-frame extracted features, fixed capacity N = n_features.
+
+    xy:      [N, 2] f32 level-0 (raw, distorted) pixel coordinates
+    response:[N]   f32 FAST score
+    octave:  [N]   i32 pyramid level
+    angle:   [N]   f32 radians
+    desc:    [N, 8] u32 bit-packed 256-bit descriptors
+    valid:   [N]   bool
+    """
+
+    xy: jnp.ndarray
+    response: jnp.ndarray
+    octave: jnp.ndarray
+    angle: jnp.ndarray
+    desc: jnp.ndarray
+    valid: jnp.ndarray
+
+    @property
+    def n(self) -> int:
+        return self.xy.shape[0]
+
+
+def _extract_level(img, budget, cfg: ExtractorConfig, level: int):
+    score, is_hi = fast.fast_score_map(img, cfg.th_fast_lo, cfg.th_fast_hi)
+    score = fast.nms3x3(score)
+    # mask out the EDGE margin so patches stay inside
+    h, w = img.shape
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    m = cfg.margin
+    ok = (yy >= m) & (yy < h - m) & (xx >= m) & (xx < w - m)
+    score = jnp.where(ok, score, 0.0)
+
+    xy, resp, valid = select.select_keypoints(score, is_hi, budget)
+    angles = orb.ic_angles(img, xy, valid)
+    blurred = pyramid.gaussian_blur(img)
+    desc = orb.brief_descriptors(blurred, xy, angles, valid)
+    octave = jnp.full((budget,), level, jnp.int32)
+    return xy, resp, octave, angles, desc, valid
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def extract(image: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Features:
+    """image: [H, W] f32 grayscale in [0, 255].  Returns Features."""
+    levels = pyramid.build_pyramid(image, cfg.n_levels, cfg.scale)
+    budgets = pyramid.features_per_level(cfg.n_features, cfg.n_levels, cfg.scale)
+    scales = [cfg.scale**l for l in range(cfg.n_levels)]
+
+    parts = []
+    for l, (img, budget) in enumerate(zip(levels, budgets)):
+        xy, resp, octv, ang, desc, valid = _extract_level(img, budget, cfg, l)
+        xy = xy * scales[l]  # rescale to level-0 coords (ORBextractor.cc:1186-1195)
+        parts.append((xy, resp, octv, ang, desc, valid))
+
+    cat = lambda i: jnp.concatenate([p[i] for p in parts], axis=0)
+    feats = Features(cat(0), cat(1), cat(2), cat(3), cat(4), cat(5))
+    # pad to exactly n_features if the per-level budgets rounded short
+    n = feats.xy.shape[0]
+    if n < cfg.n_features:
+        pad = cfg.n_features - n
+        feats = Features(
+            jnp.concatenate([feats.xy, jnp.zeros((pad, 2), jnp.float32)]),
+            jnp.concatenate([feats.response, jnp.zeros((pad,), jnp.float32)]),
+            jnp.concatenate([feats.octave, jnp.zeros((pad,), jnp.int32)]),
+            jnp.concatenate([feats.angle, jnp.zeros((pad,), jnp.float32)]),
+            jnp.concatenate([feats.desc, jnp.zeros((pad, 8), jnp.uint32)]),
+            jnp.concatenate([feats.valid, jnp.zeros((pad,), bool)]),
+        )
+    elif n > cfg.n_features:
+        feats = Features(*(a[: cfg.n_features] for a in feats))
+    return feats

@@ -1,0 +1,142 @@
+"""Oriented binary descriptors: IC-angle orientation + rotated BRIEF.
+
+Replaces reference ORBextractor's IC_Angle (ORBextractor.cc:78-106) and
+computeOrbDescriptor (ORBextractor.cc:111-152).
+
+Design difference from the reference (deliberate, TPU-first): the reference
+hardcodes OpenCV's learned 256-pair sampling table (bit_pattern_31_,
+ORBextractor.cc:155-413).  We instead generate our own deterministic
+BRIEF-style pattern (seeded Gaussian pairs, original BRIEF G-II scheme,
+decorrelated by greedy selection at import time).  Descriptors are
+therefore NOT bit-compatible with OpenCV ORB — matching quality is
+validated at the trajectory-ATE level instead (see SURVEY.md §7 "hard
+parts": bit-exactness vs OpenCV is impossible anyway).
+
+All sampling is expressed as one big gather per level: [N, 512] pixel
+fetches from the blurred level image, then bit packing to [N, 8] uint32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+HALF_PATCH = 15  # orientation patch radius (reference ORBextractor.cc:74)
+PATTERN_RADIUS = 13  # BRIEF sample points stay within this radius
+N_BITS = 256
+
+
+def _make_pattern(seed: int = 17) -> np.ndarray:
+    """Generate a decorrelated 256-pair sampling pattern, [256, 4] int32
+    (py, px, qy, qx).
+
+    BRIEF G-II: both endpoints ~ N(0, (S/5)^2) clipped to the patch.  A
+    greedy pass keeps candidate pairs whose endpoints are not too close to
+    an already chosen pair, which decorrelates neighbouring bits cheaply.
+    """
+    rng = np.random.RandomState(seed)
+    sigma = 31 / 5.0
+    chosen: list[tuple[int, int, int, int]] = []
+    seen = set()
+    while len(chosen) < N_BITS:
+        cand = np.clip(
+            np.round(rng.randn(4) * sigma), -PATTERN_RADIUS, PATTERN_RADIUS
+        ).astype(np.int32)
+        py, px, qy, qx = (int(v) for v in cand)
+        if (py, px) == (qy, qx):
+            continue
+        key = (py, px, qy, qx)
+        if key in seen or (qy, qx, py, px) in seen:
+            continue
+        seen.add(key)
+        chosen.append(key)
+    return np.asarray(chosen, np.int32)
+
+
+PATTERN = jnp.asarray(_make_pattern())  # [256, 4]
+
+
+def _circular_umax() -> np.ndarray:
+    """Per-row half-width of the radius-15 circular patch (ref u_max,
+    ORBextractor.cc:434-446 semantics: symmetric circle)."""
+    v = np.arange(-HALF_PATCH, HALF_PATCH + 1)
+    return np.floor(np.sqrt(np.maximum(HALF_PATCH**2 - v**2, 0)) + 0.5).astype(np.int32)
+
+
+_UMAX = _circular_umax()
+# Precompute the circular orientation mask and coordinate grids once.
+_Y, _X = np.mgrid[-HALF_PATCH : HALF_PATCH + 1, -HALF_PATCH : HALF_PATCH + 1]
+_CIRC_MASK = (np.abs(_X) <= _UMAX[_Y + HALF_PATCH]).astype(np.float32)
+CIRC_MASK = jnp.asarray(_CIRC_MASK)
+GRID_X = jnp.asarray(_X.astype(np.float32) * _CIRC_MASK)
+GRID_Y = jnp.asarray(_Y.astype(np.float32) * _CIRC_MASK)
+
+
+def ic_angles(image: jnp.ndarray, kps: jnp.ndarray, valid: jnp.ndarray):
+    """Intensity-centroid angle per keypoint.
+
+    image: [H, W] f32 level image (unblurred, like the reference).
+    kps:   [N, 2] f32 (x, y) level coordinates.
+    Returns angles [N] in radians.
+    """
+    h, w = image.shape
+    x0 = jnp.clip(jnp.round(kps[:, 0]).astype(jnp.int32), HALF_PATCH, w - HALF_PATCH - 1)
+    y0 = jnp.clip(jnp.round(kps[:, 1]).astype(jnp.int32), HALF_PATCH, h - HALF_PATCH - 1)
+
+    def patch_moments(xc, yc):
+        p = jax.lax.dynamic_slice(
+            image, (yc - HALF_PATCH, xc - HALF_PATCH), (2 * HALF_PATCH + 1, 2 * HALF_PATCH + 1)
+        )
+        m10 = jnp.sum(p * GRID_X)
+        m01 = jnp.sum(p * GRID_Y)
+        return m10, m01
+
+    m10, m01 = jax.vmap(patch_moments)(x0, y0)
+    return jnp.where(valid, jnp.arctan2(m01, m10), 0.0)
+
+
+def brief_descriptors(blurred: jnp.ndarray, kps: jnp.ndarray, angles: jnp.ndarray,
+                      valid: jnp.ndarray) -> jnp.ndarray:
+    """Rotated-BRIEF descriptors, bit-packed.
+
+    blurred: [H, W] f32 blurred level image.
+    kps: [N,2] (x,y) level coords; angles [N] radians.
+    Returns [N, 8] uint32 (256 bits).
+    """
+    h, w = blurred.shape
+    ca, sa = jnp.cos(angles), jnp.sin(angles)  # [N]
+
+    py = PATTERN[:, 0].astype(jnp.float32)  # [256]
+    px = PATTERN[:, 1].astype(jnp.float32)
+    qy = PATTERN[:, 2].astype(jnp.float32)
+    qx = PATTERN[:, 3].astype(jnp.float32)
+
+    def rot(yy, xx):
+        # rotate pattern offsets by keypoint angle: [N, 256] each
+        rx = ca[:, None] * xx[None, :] - sa[:, None] * yy[None, :]
+        ry = sa[:, None] * xx[None, :] + ca[:, None] * yy[None, :]
+        return ry, rx
+
+    pry, prx = rot(py, px)
+    qry, qrx = rot(qy, qx)
+
+    xk = kps[:, 0:1]
+    yk = kps[:, 1:2]
+    # nearest-pixel sampling like the reference (cvRound)
+    margin = PATTERN_RADIUS + 2
+    pyi = jnp.clip(jnp.round(yk + pry).astype(jnp.int32), 0, h - 1)
+    pxi = jnp.clip(jnp.round(xk + prx).astype(jnp.int32), 0, w - 1)
+    qyi = jnp.clip(jnp.round(yk + qry).astype(jnp.int32), 0, h - 1)
+    qxi = jnp.clip(jnp.round(xk + qrx).astype(jnp.int32), 0, w - 1)
+    del margin
+
+    ip = blurred[pyi, pxi]  # [N, 256] gather
+    iq = blurred[qyi, qxi]
+    bits = (ip < iq).astype(jnp.uint32)  # [N, 256]
+
+    # pack into 8 uint32 words, little-endian bit order within each word
+    words = bits.reshape(bits.shape[0], 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    packed = jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+    return jnp.where(valid[:, None], packed, 0)

@@ -1,0 +1,490 @@
+"""Local mapping: keyframe processing, triangulation, fusion, local BA.
+
+The device-side counterpart of LocalMapping.cc.  Each stage of the
+reference's Run() loop (LocalMapping.cc:47-118) is a pure jitted function
+MapState -> MapState; the host System calls them after each keyframe
+insertion instead of running a separate thread (JAX dispatch is already
+asynchronous, so tracking's next frame overlaps with mapping work on
+device).
+
+Stages and their reference counterparts:
+* insert_keyframe_from_frame  — ProcessNewKeyFrame (LocalMapping.cc:143)
+* cull_recent_mappoints       — MapPointCulling (LocalMapping.cc:207)
+* create_new_mappoints        — CreateNewMapPoints (LocalMapping.cc:253)
+* fuse_neighbors              — SearchInNeighbors (LocalMapping.cc:511)
+* local_bundle_adjustment     — Optimizer::LocalBundleAdjustment
+                                (Optimizer.cc:483)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie
+from ..geometry.camera import CameraModel, in_image, project
+from ..ops import matching
+from ..ops.hamming import hamming_pairwise
+from ..geometry.twoview import triangulate_dlt
+from ..solvers import ba_core
+from ..worldmap import map_state as ms
+from .frame import Frame
+
+SCALE = 1.2
+N_LEVELS = 8
+
+
+def _inv_sigma2(octave):
+    return 1.0 / (SCALE ** (2.0 * octave.astype(jnp.float32)))
+
+
+@jax.jit
+def insert_keyframe_from_frame(m: ms.MapState, frame: Frame, R, t,
+                               obs, frame_id, timestamp) -> tuple[ms.MapState, jnp.ndarray]:
+    """Insert the tracked frame as a keyframe.  Returns (map, slot)."""
+    slot = ms.free_kf_slot(m)
+    m = ms.insert_keyframe(
+        m, slot, R, t, frame_id, timestamp,
+        frame.xy, frame.ur, frame.depth, frame.octave, frame.angle,
+        frame.desc, frame.valid, jnp.where(frame.valid, obs, -1),
+    )
+    m = ms.update_mappoint_stats(m)
+    return m, slot
+
+
+@jax.jit
+def create_depth_mappoints(m: ms.MapState, cam: CameraModel, slot,
+                           max_depth) -> ms.MapState:
+    """Stereo/RGB-D: spawn map points for close features lacking one
+    (StereoInitialization Tracking.cc:549 + CreateNewKeyFrame
+    Tracking.cc:1164-1238: create points with depth < ThDepth*baseline)."""
+    N = m.N
+    depth = m.kf_depth[slot]
+    need = (
+        m.kf_feat_valid[slot]
+        & (m.kf_obs[slot] < 0)
+        & (depth > 0)
+        & (depth < max_depth)
+    )
+    slots = ms.free_mp_slots(m, N)
+    usable = ~m.mp_valid[slots]
+    take = need & usable  # [N] aligned: feature n -> slots[n]
+
+    R = m.kf_R[slot]
+    t = m.kf_t[slot]
+    xy = m.kf_xy[slot]
+    xc = jnp.stack(
+        [
+            (xy[:, 0] - cam.cx) / cam.fx * depth,
+            (xy[:, 1] - cam.cy) / cam.fy * depth,
+            depth,
+        ],
+        axis=1,
+    )
+    xw = (xc - t) @ R  # R^T (xc - t)
+
+    mp_pos = m.mp_pos.at[slots].set(jnp.where(take[:, None], xw, m.mp_pos[slots]))
+    mp_valid = m.mp_valid.at[slots].max(take)
+    mp_first = m.mp_first_kf.at[slots].set(
+        jnp.where(take, m.n_kf - 1, m.mp_first_kf[slots])
+    )
+    obs_new = jnp.where(take, slots.astype(jnp.int32), m.kf_obs[slot])
+    m = m._replace(
+        mp_pos=mp_pos, mp_valid=mp_valid, mp_first_kf=mp_first,
+        kf_obs=m.kf_obs.at[slot].set(obs_new),
+        mp_visible=m.mp_visible.at[slots].set(
+            jnp.where(take, 1, m.mp_visible[slots])
+        ),
+        mp_found=m.mp_found.at[slots].set(jnp.where(take, 1, m.mp_found[slots])),
+    )
+    return ms.update_mappoint_stats(m)
+
+
+@jax.jit
+def cull_recent_mappoints(m: ms.MapState) -> ms.MapState:
+    """MapPointCulling rules (LocalMapping.cc:227-250):
+
+    recent points (created within the last 3 keyframes) are dropped if
+    found/visible < 0.25, or if 2+ keyframes have passed since creation
+    and the point has <= 2 observations (mono thObs=2).  Points older
+    than 3 keyframes graduate and are no longer tested.
+    """
+    cur = m.n_kf - 1
+    age = cur - m.mp_first_kf
+    recent = m.mp_valid & (m.mp_first_kf >= 0) & (age <= 3)
+    found_ratio = m.mp_found.astype(jnp.float32) / jnp.maximum(
+        m.mp_visible.astype(jnp.float32), 1.0
+    )
+    n_obs = ms.mp_observation_counts(m)
+    bad = recent & (
+        (found_ratio < 0.25) | ((age >= 2) & (n_obs <= 2))
+    )
+    mp_valid = m.mp_valid & ~bad
+    # detach culled points from keyframe observations
+    obs = m.kf_obs
+    obs_bad = (obs >= 0) & bad[jnp.clip(obs, 0)]
+    return m._replace(mp_valid=mp_valid, kf_obs=jnp.where(obs_bad, -1, obs))
+
+
+def _fundamental_between(cam: CameraModel, R1, t1, R2, t2):
+    """F12 such that x1^T F12 x2 = 0 for pixel coords (ComputeF12,
+    LocalMapping.cc:597)."""
+    R12 = R1 @ R2.T
+    t12 = -R12 @ t2 + t1
+    K = cam.K
+    Kinv = jnp.linalg.inv(K)
+    E12 = lie.hat(t12) @ R12
+    return Kinv.T @ E12 @ Kinv
+
+
+@partial(jax.jit, static_argnums=(3,))
+def create_new_mappoints(m: ms.MapState, cam: CameraModel, slot,
+                         n_neighbors: int = 10) -> ms.MapState:
+    """Triangulate new points between the new keyframe and its best
+    covisible neighbors (CreateNewMapPoints, LocalMapping.cc:253-509).
+
+    TPU shape: per-neighbor epipolar-gated dense matching (static
+    n_neighbors), then each unmatched feature keeps its single best
+    neighbor match, all triangulations happen as one vmapped batch, and
+    surviving candidates are scattered into free map-point slots.
+    """
+    K, P, N = m.K, m.P, m.N
+    W = ms.covisibility(m)
+    w_slot = jnp.where(m.kf_valid, W[slot], -1).at[slot].set(-1)
+    _, nbrs = jax.lax.top_k(w_slot, n_neighbors)
+    nbr_ok = w_slot[nbrs] > 0
+
+    R1, t1 = m.kf_R[slot], m.kf_t[slot]
+    c1 = -R1.T @ t1
+    f1 = Frame(
+        xy=m.kf_xy[slot], xy_raw=m.kf_xy[slot], ur=m.kf_ur[slot],
+        depth=m.kf_depth[slot], octave=m.kf_octave[slot],
+        angle=m.kf_angle[slot], response=jnp.zeros((N,)),
+        desc=m.kf_desc[slot], valid=m.kf_feat_valid[slot],
+    )
+    has1 = m.kf_obs[slot] >= 0
+    inv_s2 = _inv_sigma2(jnp.arange(N_LEVELS))
+
+    def match_neighbor(nb):
+        R2, t2 = m.kf_R[nb], m.kf_t[nb]
+        c2 = -R2.T @ t2
+        baseline = jnp.linalg.norm(c2 - c1)
+        # baseline/median-depth gate (LocalMapping.cc:294-310, mono)
+        obs_nb = m.kf_obs[nb]
+        has_nb = (obs_nb >= 0) & m.kf_feat_valid[nb]
+        zs = jnp.where(
+            has_nb, (m.mp_pos[jnp.clip(obs_nb, 0)] @ R2.T + t2)[:, 2], jnp.nan
+        )
+        med_depth = jnp.nan_to_num(jnp.nanmedian(zs), nan=1.0)
+        ok_baseline = baseline / jnp.maximum(med_depth, 1e-6) > 0.01
+
+        F12 = _fundamental_between(cam, R1, t1, R2, t2)
+        f2 = Frame(
+            xy=m.kf_xy[nb], xy_raw=m.kf_xy[nb], ur=m.kf_ur[nb],
+            depth=m.kf_depth[nb], octave=m.kf_octave[nb],
+            angle=m.kf_angle[nb], response=jnp.zeros((N,)),
+            desc=m.kf_desc[nb], valid=m.kf_feat_valid[nb],
+        )
+        has2 = m.kf_obs[nb] >= 0
+        res = matching.search_for_triangulation(
+            f1, f2, F12, inv_s2, inv_s2, exclude1=has1, exclude2=has2
+        )
+        ok = res.matched & ok_baseline
+        return jnp.where(ok, res.idx, -1), jnp.where(ok, res.dist, 512)
+
+    idxs, dists = jax.vmap(match_neighbor)(nbrs)  # [NB, N] each
+    idxs = jnp.where(nbr_ok[:, None], idxs, -1)
+    dists = jnp.where(nbr_ok[:, None] & (idxs >= 0), dists, 512)
+
+    # each f1 feature keeps its best neighbor
+    best_nb = jnp.argmin(dists, axis=0)  # [N]
+    best_idx = jnp.take_along_axis(idxs, best_nb[None, :], axis=0)[0]  # [N]
+    has_match = best_idx >= 0
+
+    nb_sel = nbrs[best_nb]  # [N] neighbor kf slot per feature
+    R2 = m.kf_R[nb_sel]
+    t2 = m.kf_t[nb_sel]
+    K1 = cam.K
+    P1 = K1 @ jnp.concatenate([R1, t1[:, None]], axis=1)  # [3,4]
+    P2 = jnp.einsum("ij,njk->nik", K1,
+                    jnp.concatenate([R2, t2[:, :, None]], axis=2))  # [N,3,4]
+
+    x1 = m.kf_xy[slot]
+    x2 = m.kf_xy[nb_sel, jnp.clip(best_idx, 0)]
+    X = jax.vmap(triangulate_dlt, in_axes=(None, 0, 0, 0))(P1, P2, x1, x2)
+
+    # validity: cheirality both views, reprojection chi2, scale consistency
+    xc1 = X @ R1.T + t1
+    xc2 = jnp.einsum("nij,nj->ni", R2, X) + t2
+    uv1 = project(cam, xc1)
+    uv2 = project(cam, xc2)
+    s2_1 = SCALE ** (2.0 * m.kf_octave[slot].astype(jnp.float32))
+    oct2 = m.kf_octave[nb_sel, jnp.clip(best_idx, 0)]
+    s2_2 = SCALE ** (2.0 * oct2.astype(jnp.float32))
+    e1 = jnp.sum((uv1 - x1) ** 2, axis=1)
+    e2 = jnp.sum((uv2 - x2) ** 2, axis=1)
+    # parallax between rays; c2 = -R2^T t2
+    c2v = -jnp.einsum("nji,nj->ni", R2, t2)
+    r1v = X - c1
+    r2v = X - c2v
+    cosp = jnp.sum(r1v * r2v, axis=1) / jnp.maximum(
+        jnp.linalg.norm(r1v, axis=1) * jnp.linalg.norm(r2v, axis=1), 1e-9
+    )
+    # scale consistency (LocalMapping.cc:474-494)
+    d1 = jnp.linalg.norm(r1v, axis=1)
+    d2 = jnp.linalg.norm(r2v, axis=1)
+    ratio_d = d1 / jnp.maximum(d2, 1e-9)
+    ratio_o = (SCALE ** m.kf_octave[slot].astype(jnp.float32)) / (
+        SCALE ** oct2.astype(jnp.float32)
+    )
+    scale_ok = (ratio_d < ratio_o * SCALE * 1.5) & (ratio_d * SCALE * 1.5 > ratio_o)
+
+    good = (
+        has_match
+        & jnp.all(jnp.isfinite(X), axis=1)
+        & (xc1[:, 2] > 0)
+        & (xc2[:, 2] > 0)
+        & (e1 < 5.991 * s2_1)
+        & (e2 < 5.991 * s2_2)
+        & (cosp < 0.9998)
+        & scale_ok
+    )
+
+    # --- allocate slots & write
+    slots = ms.free_mp_slots(m, N)
+    usable = ~m.mp_valid[slots]
+    take = good & usable
+
+    mp_pos = m.mp_pos.at[slots].set(jnp.where(take[:, None], X, m.mp_pos[slots]))
+    mp_valid = m.mp_valid.at[slots].max(take)
+    mp_first = m.mp_first_kf.at[slots].set(
+        jnp.where(take, m.n_kf - 1, m.mp_first_kf[slots])
+    )
+    mp_vis = m.mp_visible.at[slots].set(jnp.where(take, 1, m.mp_visible[slots]))
+    mp_fnd = m.mp_found.at[slots].set(jnp.where(take, 1, m.mp_found[slots]))
+
+    new_ids = jnp.where(take, slots.astype(jnp.int32), -1)  # per f1 feature
+    obs1 = jnp.where(take, new_ids, m.kf_obs[slot])
+    kf_obs = m.kf_obs.at[slot].set(obs1)
+    # neighbor-side observation: scatter per neighbor row
+    kf_obs = kf_obs.at[nb_sel, jnp.clip(best_idx, 0)].max(
+        jnp.where(take, new_ids, -1)
+    )
+    m = m._replace(
+        mp_pos=mp_pos, mp_valid=mp_valid, mp_first_kf=mp_first,
+        mp_visible=mp_vis, mp_found=mp_fnd, kf_obs=kf_obs,
+    )
+    return ms.update_mappoint_stats(m)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
+                   n_neighbors: int = 10) -> ms.MapState:
+    """Two-way map-point fusion with covisible neighbors
+    (SearchInNeighbors, LocalMapping.cc:511-594 + ORBmatcher::Fuse:940).
+
+    For every (target keyframe, source point) pair where the point
+    projects close to a target feature with a consistent descriptor:
+      * feature has no point  -> add the association
+      * feature has another point -> merge: the point with more
+        observations absorbs the other (MapPoint::Replace, MapPoint.cc:194)
+        via a global remap table applied to every kf_obs entry.
+    Targets = the new keyframe and its n_neighbors best covisible KFs;
+    sources = points of the counterpart side.
+    """
+    K, P, N = m.K, m.P, m.N
+    W = ms.covisibility(m)
+    w_slot = jnp.where(m.kf_valid, W[slot], -1).at[slot].set(-1)
+    _, nbrs = jax.lax.top_k(w_slot, n_neighbors)
+    nbr_ok = w_slot[nbrs] > 0
+    targets = jnp.concatenate([jnp.asarray([slot]), nbrs])       # [T]
+    tgt_ok = jnp.concatenate([jnp.asarray([True]), nbr_ok])
+
+    # source points for each target: points seen by the *other* side
+    own_pts_slot = jnp.zeros((P,), bool).at[jnp.clip(m.kf_obs[slot], 0)].max(
+        m.kf_obs[slot] >= 0
+    )
+    nbr_pts = jnp.zeros((P,), bool)
+    for i in range(n_neighbors):  # static loop, scatter per neighbor
+        o = m.kf_obs[nbrs[i]]
+        nbr_pts = nbr_pts.at[jnp.clip(o, 0)].max((o >= 0) & nbr_ok[i])
+    src_for_slot = nbr_pts & m.mp_valid          # fuse neighbors' pts into slot
+    src_for_nbr = own_pts_slot & m.mp_valid      # fuse slot's pts into neighbors
+
+    MAXC = 1024  # candidate points per target
+
+    def fuse_into(tkf, src_mask):
+        """Returns (feat_match [N] point id or -1, dist)."""
+        R, t = m.kf_R[tkf], m.kf_t[tkf]
+        xc = m.mp_pos @ R.T + t
+        uv = project(cam, xc)
+        cam_center = -R.T @ t
+        dvec = m.mp_pos - cam_center
+        dist = jnp.linalg.norm(dvec, axis=-1)
+        vcos = jnp.sum(dvec * m.mp_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+        okp = (
+            src_mask
+            & (xc[:, 2] > 0.05)
+            & in_image(cam, uv)
+            & (dist >= m.mp_min_dist)
+            & (dist <= m.mp_max_dist)
+            & (vcos > 0.5)
+        )
+        ratio = jnp.maximum(m.mp_max_dist / jnp.maximum(dist, 1e-9), 1.0)
+        pred_oct = jnp.clip(
+            jnp.ceil(jnp.log(ratio) / jnp.log(SCALE)).astype(jnp.int32), 0, 7
+        )
+        _, cand = jax.lax.top_k(okp.astype(jnp.int32), MAXC)
+        cvalid = okp[cand]
+        radius = 3.0 * (SCALE ** pred_oct[cand].astype(jnp.float32))
+
+        fr = Frame(
+            xy=m.kf_xy[tkf], xy_raw=m.kf_xy[tkf], ur=m.kf_ur[tkf],
+            depth=m.kf_depth[tkf], octave=m.kf_octave[tkf],
+            angle=m.kf_angle[tkf], response=jnp.zeros((N,)),
+            desc=m.kf_desc[tkf], valid=m.kf_feat_valid[tkf],
+        )
+        res = matching.search_map_points(
+            m.mp_desc[cand], cvalid, uv[cand], pred_oct[cand], radius, fr,
+            ratio=1.0, max_dist=matching.TH_LOW,
+        )
+        # per-feature best source point
+        feat_pt = jnp.full((N,), -1, jnp.int32).at[jnp.clip(res.idx, 0)].max(
+            jnp.where(res.matched, cand.astype(jnp.int32), -1)
+        )
+        return feat_pt
+
+    feat_pt_all = jax.vmap(
+        lambda tk, is_self: fuse_into(
+            tk, jnp.where(is_self, src_for_slot, src_for_nbr)
+        )
+    )(targets, jnp.arange(n_neighbors + 1) == 0)
+    feat_pt_all = jnp.where(tgt_ok[:, None], feat_pt_all, -1)  # [T, N]
+
+    # --- resolve: existing obs vs proposed point
+    existing = m.kf_obs[targets]  # [T, N]
+    prop = feat_pt_all
+    n_obs = ms.mp_observation_counts(m)
+
+    add_mask = (existing < 0) & (prop >= 0)
+    merge_mask = (existing >= 0) & (prop >= 0) & (existing != prop)
+
+    # merge: winner = more observations; remap loser -> winner
+    ex = jnp.clip(existing, 0)
+    pr = jnp.clip(prop, 0)
+    ex_wins = n_obs[ex] >= n_obs[pr]
+    loser = jnp.where(ex_wins, pr, ex)
+    winner = jnp.where(ex_wins, ex, pr)
+
+    remap = jnp.arange(P + 1, dtype=jnp.int32)  # slot P = scatter dump
+    remap = remap.at[jnp.where(merge_mask, loser, P).reshape(-1)].set(
+        jnp.where(merge_mask, winner, P).reshape(-1)
+    )
+    remap = remap[:P]
+    # a loser merging into a loser: resolve 2-chains with one extra pass
+    remap = remap[remap]
+
+    new_obs_rows = jnp.where(add_mask, prop, existing)
+    kf_obs = m.kf_obs.at[targets].set(new_obs_rows)
+    live = remap == jnp.arange(P)
+    kf_obs = jnp.where(kf_obs >= 0, remap[jnp.clip(kf_obs, 0)], -1)
+    m = m._replace(kf_obs=kf_obs, mp_valid=m.mp_valid & live)
+    return ms.update_mappoint_stats(m)
+
+
+class LocalBAOut(NamedTuple):
+    map: ms.MapState
+    n_edges: jnp.ndarray
+    cost: jnp.ndarray
+
+
+@partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
+def local_bundle_adjustment(m: ms.MapState, cam: CameraModel, slot,
+                            n_opt: int = 16, n_fixed: int = 16) -> LocalBAOut:
+    """Covisible-window BA (Optimizer::LocalBundleAdjustment:483-813).
+
+    Optimizable cameras: the new KF + its best covisible; fixed cameras:
+    other observers of the local points (capped).  Points: everything the
+    optimizable set observes.  Edge list is the dense [C_all, N] grid of
+    (keyframe-feature, point) associations masked to the point set.
+    """
+    K, P, N = m.K, m.P, m.N
+    W = ms.covisibility(m)
+    w_slot = jnp.where(m.kf_valid, W[slot], -1).at[slot].set(-1)
+    _, nb = jax.lax.top_k(w_slot, n_opt - 1)
+    opt_kfs = jnp.concatenate([jnp.asarray([slot]), nb])  # [n_opt]
+    opt_ok = jnp.concatenate([jnp.asarray([True]), w_slot[nb] > 0])
+
+    O = ms.observation_matrix(m)  # [K, P]
+    opt_rows = O[opt_kfs] & opt_ok[:, None]
+    pts_mask = jnp.any(opt_rows, axis=0) & m.mp_valid  # [P] local points
+
+    # fixed frontier: other KFs seeing local points
+    sees_local = (O.astype(jnp.float32) @ pts_mask.astype(jnp.float32)) > 0
+    is_opt = jnp.zeros((K,), bool).at[opt_kfs].max(opt_ok)
+    fixed_cand = sees_local & m.kf_valid & ~is_opt
+    _, fx = jax.lax.top_k(fixed_cand.astype(jnp.int32), n_fixed)
+    fx_ok = fixed_cand[fx]
+
+    cams_all = jnp.concatenate([opt_kfs, fx])          # [C]
+    cams_ok = jnp.concatenate([opt_ok, fx_ok])
+    cam_fixed = jnp.concatenate(
+        [jnp.zeros((n_opt,), bool), jnp.ones((n_fixed,), bool)]
+    )
+    C = n_opt + n_fixed
+
+    # local point index: compact to P_BA slots
+    P_BA = 4096
+    _, psel = jax.lax.top_k(pts_mask.astype(jnp.int32), P_BA)
+    psel_ok = pts_mask[psel]
+    g2l = jnp.full((P,), -1, jnp.int32).at[psel].set(
+        jnp.where(psel_ok, jnp.arange(P_BA, dtype=jnp.int32), -1)
+    )
+
+    # edges: every (c, n) of cams_all with obs in the point set
+    obs_grid = m.kf_obs[cams_all]  # [C, N]
+    feat_ok = m.kf_feat_valid[cams_all] & cams_ok[:, None]
+    pt_loc = jnp.where(obs_grid >= 0, g2l[jnp.clip(obs_grid, 0)], -1)
+    e_valid = feat_ok & (pt_loc >= 0)
+
+    cam_idx = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N)).reshape(-1)
+    pt_idx = jnp.clip(pt_loc, 0).reshape(-1)
+    uv = m.kf_xy[cams_all].reshape(-1, 2)
+    ur = m.kf_ur[cams_all].reshape(-1)
+    octv = m.kf_octave[cams_all].reshape(-1)
+    ev = e_valid.reshape(-1)
+
+    prob = ba_core.BAProblem(
+        R=m.kf_R[cams_all], t=m.kf_t[cams_all],
+        points=m.mp_pos[psel],
+        cam_fixed=cam_fixed | ~cams_ok,
+        cam_valid=cams_ok,
+        pt_valid=psel_ok,
+        cam_idx=cam_idx.astype(jnp.int32), pt_idx=pt_idx.astype(jnp.int32),
+        uv=uv, ur=ur,
+        inv_sigma2=_inv_sigma2(octv), edge_valid=ev,
+    )
+    # 5 robust iters, outlier re-mask, 10 more (Optimizer.cc:668-704)
+    R1, t1, X1, inl1, _ = ba_core.bundle_adjust(cam, prob, iters=5, robust=True)
+    prob2 = prob._replace(R=R1, t=t1, points=X1, edge_valid=ev & inl1)
+    R2, t2, X2, inl2, cost = ba_core.bundle_adjust(cam, prob2, iters=10, robust=True)
+
+    # --- write back poses & points
+    upd_cam = cams_ok & ~cam_fixed
+    kf_R = m.kf_R.at[cams_all].set(
+        jnp.where(upd_cam[:, None, None], R2, m.kf_R[cams_all])
+    )
+    kf_t = m.kf_t.at[cams_all].set(jnp.where(upd_cam[:, None], t2, m.kf_t[cams_all]))
+    mp_pos = m.mp_pos.at[psel].set(jnp.where(psel_ok[:, None], X2, m.mp_pos[psel]))
+
+    # --- drop outlier observations (Optimizer.cc:747-767)
+    bad_edge = (ev & ~inl2).reshape(C, N)
+    obs_rows = m.kf_obs[cams_all]
+    obs_rows = jnp.where(bad_edge, -1, obs_rows)
+    kf_obs = m.kf_obs.at[cams_all].set(obs_rows)
+
+    m = m._replace(kf_R=kf_R, kf_t=kf_t, mp_pos=mp_pos, kf_obs=kf_obs)
+    return LocalBAOut(ms.update_mappoint_stats(m), jnp.sum(ev), cost)

@@ -1,0 +1,415 @@
+"""System facade: host-side orchestration of the SLAM pipeline.
+
+The TPU counterpart of System.cc + the host-side state machine of
+Tracking.cc (Track(), Tracking.cc:275-546) + the LocalMapping scheduling
+(System.cc:91-102 threads).  All numeric work happens in the jitted
+device programs of pipeline/{frame,tracking,local_mapping}.py; this class
+only sequences them and keeps a handful of scalars (state, frame counter,
+velocity) on host.
+
+Thread model: the reference runs Tracking / LocalMapping / LoopClosing as
+three std::threads with queues and mutexes; here device dispatch is
+asynchronous, so the host issues tracking for frame k and mapping for the
+last keyframe back-to-back and XLA overlaps them.  The map is one
+functional value — there is nothing to lock.
+
+Trajectory bookkeeping follows the reference (Tracking.cc:514-544): every
+frame stores its pose relative to its reference keyframe, so later map
+corrections (BA / loop closure) retroactively improve the full
+trajectory when it is recovered at save time (System.cc:327-388).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie
+from ..geometry.camera import CameraModel
+from ..ops.extractor import ExtractorConfig
+from ..ops import matching
+from ..solvers import initializer, ba_core
+from ..worldmap import map_state as ms
+from . import local_mapping as lm
+from . import tracking as tk
+from .frame import Frame, make_frame_mono, make_frame_rgbd, make_frame_stereo
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    sensor: str = "mono"             # mono | stereo | rgbd
+    n_features: int = 1024
+    n_levels: int = 8
+    scale: float = 1.2
+    max_kf: int = 256
+    max_mp: int = 16384
+    # keyframe policy (NeedNewKeyFrame, Tracking.cc:1075)
+    max_frames_between_kf: int = 20
+    min_frames_between_kf: int = 0
+    kf_ref_ratio: float = 0.9
+    min_inliers_track: int = 15      # below -> LOST (Tracking.cc:1019)
+    min_inliers_local: int = 30      # TrackLocalMap accept (Tracking.cc:1070)
+    th_depth: float = 40.0           # in units of baseline (stereo/rgbd)
+    init_min_matches: int = 100
+    seed: int = 0
+
+    @property
+    def extractor(self) -> ExtractorConfig:
+        return ExtractorConfig(
+            n_features=self.n_features, n_levels=self.n_levels, scale=self.scale
+        )
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    frame_id: int
+    timestamp: float
+    ref_kf_slot: int
+    # pose of this frame relative to its reference keyframe: Tcr = Tcw Twr
+    R_cr: np.ndarray
+    t_cr: np.ndarray
+    lost: bool
+
+
+class System:
+    """End-to-end SLAM engine (mono fully wired; stereo/rgbd via depth)."""
+
+    def __init__(self, cam: CameraModel, config: SlamConfig | None = None):
+        self.cam = cam
+        self.cfg = config or SlamConfig()
+        self.map = ms.empty_map(self.cfg.max_kf, self.cfg.max_mp,
+                                self.cfg.n_features)
+        self.state = "NO_IMAGES"     # NO_IMAGES -> NOT_INITIALIZED -> OK | LOST
+        self.frame_id = -1
+        self.records: list[FrameRecord] = []
+        self._rng = np.random.RandomState(self.cfg.seed)
+
+        # tracker state
+        self.last_frame: Optional[Frame] = None
+        self.last_obs = None         # [N] mp ids of last frame
+        self.R = jnp.eye(3)
+        self.t = jnp.zeros(3)
+        self.vel = None              # (R, t) of Tcw_cur @ Tcw_last^-1
+        self.ref_kf = 0              # slot of reference keyframe
+        self.last_kf_frame = -999
+        self.ref_tracked = 0         # inliers when ref KF was made
+        # mono init
+        self._init_frame: Optional[Frame] = None
+
+    # ------------------------------------------------------------------
+    # public API (System.h:62-123 equivalents)
+    # ------------------------------------------------------------------
+
+    def track_mono(self, image: np.ndarray, timestamp: float):
+        """image: [H,W] grayscale float32/uint8.  Returns 4x4 Tcw or None."""
+        img = jnp.asarray(np.asarray(image, np.float32))
+        frame = make_frame_mono(img, self.cam, self.cfg.extractor)
+        return self._track(frame, timestamp)
+
+    def track_rgbd(self, image, depth, timestamp: float):
+        img = jnp.asarray(np.asarray(image, np.float32))
+        dep = jnp.asarray(np.asarray(depth, np.float32))
+        frame = make_frame_rgbd(img, dep, self.cam, self.cfg.extractor)
+        return self._track(frame, timestamp, has_depth=True)
+
+    def track_stereo(self, image_l, image_r, timestamp: float):
+        il = jnp.asarray(np.asarray(image_l, np.float32))
+        ir = jnp.asarray(np.asarray(image_r, np.float32))
+        frame = make_frame_stereo(il, ir, self.cam, self.cfg.extractor)
+        return self._track(frame, timestamp, has_depth=True)
+
+    def reset(self):
+        self.__init__(self.cam, self.cfg)
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _track(self, frame: Frame, timestamp: float, has_depth: bool = False):
+        self.frame_id += 1
+        self._cur_ts = timestamp
+        if self.state in ("NO_IMAGES", "NOT_INITIALIZED"):
+            if has_depth:
+                ok = self._initialize_depth(frame, timestamp)
+            else:
+                ok = self._initialize_mono(frame, timestamp)
+            if not ok:
+                self._record(lost=True)
+                return None
+            self.state = "OK"
+            self._record()
+            return self._pose44()
+
+        # ---- track
+        n_inl = 0
+        obs = None
+        if self.vel is not None:
+            R_pred, t_pred = lie.se3_compose(
+                jnp.asarray(self.vel[0]), jnp.asarray(self.vel[1]), self.R, self.t
+            )
+            R, t, obs, n = tk.track_with_motion_model(
+                self.cam, self.map, frame, self.last_frame, self.last_obs,
+                R_pred, t_pred,
+            )
+            n_inl = int(n)
+        if self.vel is None or n_inl < 20:
+            R, t, obs, n = tk.track_reference_keyframe(
+                self.cam, self.map, frame, self.ref_kf, self.R, self.t
+            )
+            n_inl = int(n)
+        if n_inl < self.cfg.min_inliers_track:
+            self.state = "LOST"
+            self.vel = None
+            self._record(lost=True)
+            return None
+
+        # ---- track local map
+        res = tk.track_local_map(self.cam, self.map, frame, R, t, obs)
+        n_local = int(res.n_inliers)
+        if n_local < self.cfg.min_inliers_local:
+            self.state = "LOST"
+            self.vel = None
+            self._record(lost=True)
+            return None
+        self.map = self.map._replace(
+            mp_visible=res.mp_visible, mp_found=res.mp_found
+        )
+
+        # ---- motion model velocity = Tcw_cur * Tcw_last^-1
+        Ri, ti = lie.se3_inverse(self.R, self.t)
+        self.vel = lie.se3_compose(res.R, res.t, Ri, ti)
+        self.R, self.t = res.R, res.t
+        self.last_frame = frame
+        self.last_obs = res.obs
+
+        # ---- keyframe policy
+        if self._need_keyframe(n_local):
+            self._create_keyframe(frame, timestamp, res.obs, has_depth)
+        self._record()
+        return self._pose44()
+
+    def _need_keyframe(self, n_tracked: int) -> bool:
+        since = self.frame_id - self.last_kf_frame
+        c1 = since >= self.cfg.max_frames_between_kf
+        c2 = n_tracked < self.cfg.kf_ref_ratio * max(self.ref_tracked, 1)
+        return (c1 or c2) and n_tracked > self.cfg.min_inliers_track
+
+    def _create_keyframe(self, frame, timestamp, obs, has_depth):
+        self.map, slot = lm.insert_keyframe_from_frame(
+            self.map, frame, self.R, self.t, obs, self.frame_id, timestamp
+        )
+        slot = int(slot)
+        if has_depth:
+            baseline = float(self.cam.bf) / float(self.cam.fx)
+            self.map = lm.create_depth_mappoints(
+                self.map, self.cam, slot, self.cfg.th_depth * baseline
+            )
+        self.map = lm.cull_recent_mappoints(self.map)
+        self.map = lm.create_new_mappoints(self.map, self.cam, slot)
+        self.map = lm.fuse_neighbors(self.map, self.cam, slot)
+        out = lm.local_bundle_adjustment(self.map, self.cam, slot)
+        self.map = out.map
+        # adopt possibly-updated pose of the new keyframe
+        self.R = self.map.kf_R[slot]
+        self.t = self.map.kf_t[slot]
+        # refresh last frame's observations against the culled map
+        if self.last_obs is not None:
+            ids = jnp.clip(self.last_obs, 0)
+            self.last_obs = jnp.where(
+                self.map.mp_valid[ids], self.last_obs, -1
+            )
+        self.ref_kf = slot
+        self.last_kf_frame = self.frame_id
+        self.ref_tracked = int(
+            jnp.sum((self.map.kf_obs[slot] >= 0) & self.map.kf_feat_valid[slot])
+        )
+
+    # ---- mono initialization (MonocularInitialization, Tracking.cc:603) --
+
+    def _initialize_mono(self, frame: Frame, timestamp: float) -> bool:
+        n_feat = int(jnp.sum(frame.valid))
+        if self._init_frame is None:
+            if n_feat >= self.cfg.init_min_matches:
+                self._init_frame = frame
+                self._init_ts = timestamp
+                self._init_fid = self.frame_id
+            self.state = "NOT_INITIALIZED"
+            return False
+        if n_feat < self.cfg.init_min_matches:
+            self._init_frame = None
+            return False
+
+        f0 = self._init_frame
+        res = matching.search_for_initialization(f0, frame, window=100.0)
+        n_matches = int(res.count)
+        if n_matches < self.cfg.init_min_matches:
+            self._init_frame = None  # restart (Tracking.cc:632-638)
+            return False
+
+        idx = res.idx
+        x2 = frame.xy[jnp.clip(idx, 0)]
+        key = jax.random.PRNGKey(self._rng.randint(2**31))
+        init = initializer.initialize_two_view(
+            key, f0.xy, x2, res.matched, 200, 1.0, self.cam.K
+        )
+        if not bool(init.success):
+            return False
+
+        # ---- scale normalization: median depth -> 1 (Tracking.cc:779-800)
+        good = np.asarray(init.good)
+        X = np.asarray(init.points)
+        z = X[good, 2]
+        med = float(np.median(z[z > 0])) if (z > 0).any() else 1.0
+        X = X / med
+        t1 = np.asarray(init.t) / med
+
+        # ---- build the initial map: KF0 (identity) + KF1
+        obs0 = np.full(f0.xy.shape[0], -1, np.int32)
+        obs1 = np.full(frame.xy.shape[0], -1, np.int32)
+        gidx = np.nonzero(good)[0]
+        mp_ids = np.arange(len(gidx), dtype=np.int32)
+        obs0[gidx] = mp_ids
+        obs1[np.asarray(idx)[gidx]] = mp_ids
+
+        m = self.map
+        m = ms.insert_keyframe(
+            m, jnp.asarray(0), jnp.eye(3), jnp.zeros(3),
+            self._init_fid, self._init_ts,
+            f0.xy, f0.ur, f0.depth, f0.octave, f0.angle, f0.desc, f0.valid,
+            jnp.asarray(obs0),
+        )
+        m = ms.insert_keyframe(
+            m, jnp.asarray(1), jnp.asarray(init.R), jnp.asarray(t1),
+            self.frame_id, timestamp,
+            frame.xy, frame.ur, frame.depth, frame.octave, frame.angle,
+            frame.desc, frame.valid, jnp.asarray(obs1),
+        )
+        P = m.P
+        mp_valid = np.zeros(P, bool)
+        mp_valid[mp_ids] = True
+        mp_pos = np.zeros((P, 3), np.float32)
+        mp_pos[mp_ids] = X[gidx]
+        m = m._replace(
+            mp_pos=jnp.asarray(mp_pos),
+            mp_valid=jnp.asarray(mp_valid),
+            mp_first_kf=jnp.where(jnp.asarray(mp_valid), 0, m.mp_first_kf),
+        )
+        m = ms.update_mappoint_stats(m)
+
+        # ---- initial two-view BA (Tracking.cc:771 GlobalBundleAdjustemnt)
+        out = lm.local_bundle_adjustment(m, self.cam, jnp.asarray(1))
+        self.map = out.map
+
+        self.R = self.map.kf_R[1]
+        self.t = self.map.kf_t[1]
+        self.last_frame = frame
+        self.last_obs = jnp.asarray(obs1)
+        self.vel = None
+        self.ref_kf = 1
+        self.last_kf_frame = self.frame_id
+        self.ref_tracked = len(gidx)
+        self._init_frame = None
+        return True
+
+    # ---- stereo/RGB-D initialization (StereoInitialization, :549) -------
+
+    def _initialize_depth(self, frame: Frame, timestamp: float) -> bool:
+        n_depth = int(jnp.sum(frame.valid & (frame.depth > 0)))
+        if n_depth < 500:
+            return False
+        obs = jnp.full((frame.xy.shape[0],), -1, jnp.int32)
+        self.map, slot = lm.insert_keyframe_from_frame(
+            self.map, frame, jnp.eye(3), jnp.zeros(3), obs,
+            self.frame_id, timestamp,
+        )
+        slot = int(slot)
+        baseline = float(self.cam.bf) / float(self.cam.fx)
+        self.map = lm.create_depth_mappoints(
+            self.map, self.cam, slot, self.cfg.th_depth * baseline
+        )
+        self.R = jnp.eye(3)
+        self.t = jnp.zeros(3)
+        self.last_frame = frame
+        self.last_obs = self.map.kf_obs[slot]
+        self.vel = None
+        self.ref_kf = slot
+        self.last_kf_frame = self.frame_id
+        self.ref_tracked = int(jnp.sum(self.map.kf_obs[slot] >= 0))
+        return True
+
+    # ---- bookkeeping --------------------------------------------------
+
+    def _pose44(self) -> np.ndarray:
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(self.R)
+        T[:3, 3] = np.asarray(self.t)
+        return T
+
+    def _record(self, lost: bool = False):
+        ts = getattr(self, "_cur_ts", 0.0)
+        if lost or self.state not in ("OK",):
+            self.records.append(
+                FrameRecord(self.frame_id, ts, self.ref_kf,
+                            np.eye(3, dtype=np.float32),
+                            np.zeros(3, np.float32), True)
+            )
+            return
+        # Tcr = Tcw * Twr   (relative to reference keyframe)
+        Rr = self.map.kf_R[self.ref_kf]
+        tr = self.map.kf_t[self.ref_kf]
+        Rri, tri = lie.se3_inverse(Rr, tr)
+        Rcr, tcr = lie.se3_compose(self.R, self.t, Rri, tri)
+        self.records.append(
+            FrameRecord(self.frame_id, ts, self.ref_kf,
+                        np.asarray(Rcr), np.asarray(tcr), False)
+        )
+
+    def frame_trajectory(self):
+        """Recover the full-frame trajectory through current KF poses
+        (System::SaveTrajectoryTUM semantics, System.cc:327-388).
+
+        Returns list of (frame_id, 4x4 Tcw or None).
+        """
+        out = []
+        kf_R = np.asarray(self.map.kf_R)
+        kf_t = np.asarray(self.map.kf_t)
+        for rec in self.records:
+            if rec.lost:
+                out.append((rec.frame_id, None))
+                continue
+            Rr, tr = kf_R[rec.ref_kf_slot], kf_t[rec.ref_kf_slot]
+            R = rec.R_cr @ Rr
+            t = rec.R_cr @ tr + rec.t_cr
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R
+            T[:3, 3] = t
+            out.append((rec.frame_id, T))
+        return out
+
+    def keyframe_trajectory(self):
+        """(slot, 4x4 Tcw) for all valid keyframes, by frame id order."""
+        v = np.asarray(self.map.kf_valid)
+        fids = np.asarray(self.map.kf_frame_id)
+        kf_R = np.asarray(self.map.kf_R)
+        kf_t = np.asarray(self.map.kf_t)
+        out = []
+        for s in np.argsort(fids):
+            if not v[s]:
+                continue
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = kf_R[s]
+            T[:3, 3] = kf_t[s]
+            out.append((int(fids[s]), T))
+        return out
+
+    @property
+    def n_keyframes(self) -> int:
+        return int(jnp.sum(self.map.kf_valid))
+
+    @property
+    def n_mappoints(self) -> int:
+        return int(jnp.sum(self.map.mp_valid))

@@ -1,0 +1,200 @@
+"""Per-frame tracking: the device-side hot path of Tracking.cc.
+
+Each stage of the reference's Track() state machine
+(Tracking.cc:275-546) is one jitted program over the functional MapState:
+
+* track_with_motion_model   (Tracking.cc:958 + ORBmatcher.cc:1484)
+* track_reference_keyframe  (Tracking.cc:833 + SearchByBoW)
+* track_local_map           (Tracking.cc:1025-1073, SearchLocalPoints)
+
+State that the reference spreads across Frame/MapPoint pointers is carried
+as a per-frame observation vector obs[N] = map-point id per feature (-1 =
+none) — the functional analog of Frame::mvpMapPoints.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie
+from ..geometry.camera import CameraModel, in_image, project
+from ..ops import matching
+from ..ops.hamming import MAX_DIST
+from ..solvers import pose_opt
+from ..worldmap.map_state import MapState, observation_matrix
+from .frame import Frame
+
+SCALE = 1.2
+
+
+def _inv_sigma2(octave):
+    return 1.0 / (SCALE ** (2.0 * octave.astype(jnp.float32)))
+
+
+def _pose_obs_from_obs(m: MapState, frame: Frame, obs: jnp.ndarray) -> pose_opt.PoseObs:
+    """Build the unary observation set for pose optimization from obs[N]."""
+    ids = jnp.clip(obs, 0)
+    valid = (obs >= 0) & frame.valid & m.mp_valid[ids]
+    return pose_opt.PoseObs(
+        xw=m.mp_pos[ids],
+        uv=frame.xy,
+        ur=frame.ur,
+        inv_sigma2=_inv_sigma2(frame.octave),
+        valid=valid,
+    )
+
+
+@jax.jit
+def track_with_motion_model(cam: CameraModel, m: MapState, frame: Frame,
+                            last_frame: Frame, last_obs: jnp.ndarray,
+                            R_pred, t_pred, th: float = 15.0):
+    """Project last frame's map points at the predicted pose and match.
+
+    Returns (R, t, obs [N], n_inliers).
+    """
+    ids = jnp.clip(last_obs, 0)
+    has = (last_obs >= 0) & m.mp_valid[ids]
+    xw = m.mp_pos[ids]
+    xc = xw @ R_pred.T + t_pred
+    uv = project(cam, xc)
+    pvalid = has & (xc[:, 2] > 0.05) & in_image(cam, uv)
+
+    radius = th * (SCALE ** last_frame.octave.astype(jnp.float32))
+    res = matching.search_frame_to_frame(
+        frame, last_frame, uv, pvalid, last_frame.octave, radius
+    )
+    # matched: last feature i -> current feature res.idx[i]; carry mp id over
+    N = frame.xy.shape[0]
+    obs = jnp.full((N,), -1, jnp.int32)
+    src = jnp.where(res.matched & has, last_obs, -1)
+    obs = obs.at[jnp.clip(res.idx, 0)].max(jnp.where(res.matched, src, -1))
+
+    pobs = _pose_obs_from_obs(m, frame, obs)
+    R, t, inlier, n = pose_opt.optimize_pose(cam, R_pred, t_pred, pobs)
+    obs = jnp.where(inlier | ~pobs.valid, obs, -1)
+    return R, t, obs, n
+
+
+@jax.jit
+def track_reference_keyframe(cam: CameraModel, m: MapState, frame: Frame,
+                             kf_id, R0, t0):
+    """Brute-force descriptor match against a reference keyframe's
+    map-point features, then pose optimization from the last pose.
+
+    The reference restricts comparisons to shared BoW nodes purely for CPU
+    speed (SearchByBoW, ORBmatcher.cc:185); dense [N,N] Hamming is cheap
+    on TPU so we keep only the ratio/rotation tests.
+    """
+    kf_desc = m.kf_desc[kf_id]
+    kf_obs = m.kf_obs[kf_id]
+    kf_has = (kf_obs >= 0) & m.kf_feat_valid[kf_id] & m.mp_valid[jnp.clip(kf_obs, 0)]
+
+    cand = kf_has[:, None] & frame.valid[None, :]
+    res = matching.match_masked(kf_desc, frame.desc, cand,
+                                max_dist=matching.TH_LOW, ratio=0.7)
+    ang2 = frame.angle[jnp.clip(res.idx, 0)]
+    keep = matching.rotation_consistency(m.kf_angle[kf_id], ang2, res.matched)
+
+    N = frame.xy.shape[0]
+    obs = jnp.full((N,), -1, jnp.int32)
+    src = jnp.where(keep, kf_obs, -1)
+    obs = obs.at[jnp.clip(res.idx, 0)].max(jnp.where(keep, src, -1))
+
+    pobs = _pose_obs_from_obs(m, frame, obs)
+    R, t, inlier, n = pose_opt.optimize_pose(cam, R0, t0, pobs)
+    obs = jnp.where(inlier | ~pobs.valid, obs, -1)
+    return R, t, obs, n
+
+
+class LocalMapTrack(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    obs: jnp.ndarray
+    n_inliers: jnp.ndarray
+    n_local_kf: jnp.ndarray
+    mp_visible: jnp.ndarray  # updated counters to fold back into MapState
+    mp_found: jnp.ndarray
+
+
+@partial(jax.jit, static_argnums=(6, 7))
+def track_local_map(cam: CameraModel, m: MapState, frame: Frame, R, t, obs,
+                    max_local_kf: int = 32, max_local_pts: int = 2048,
+                    th: float = 1.0) -> LocalMapTrack:
+    """SearchLocalPoints + final pose refinement (Tracking.cc:1025-1073).
+
+    The local keyframe set (K1 of UpdateLocalKeyFrames, Tracking.cc:1339)
+    is computed by a vote matmul; the local point set is every point those
+    keyframes observe; frustum + viewing-cone + scale-band gating follows
+    Frame::isInFrustum (Frame.cc:297-353).
+    """
+    P = m.P
+    N = frame.xy.shape[0]
+
+    # --- local keyframes by shared-point votes
+    cur_pts = jnp.zeros((P,), bool).at[jnp.clip(obs, 0)].max(obs >= 0)
+    O = observation_matrix(m)  # [K,P]
+    votes = (O.astype(jnp.float32) @ cur_pts.astype(jnp.float32))  # [K]
+    votes = jnp.where(m.kf_valid, votes, -1.0)
+    top_votes, local_kf = jax.lax.top_k(votes, max_local_kf)
+    kf_sel = top_votes > 0  # [LK]
+    n_local_kf = jnp.sum(kf_sel)
+
+    # --- local points = union of those keyframes' observations
+    local_mask = jnp.any(O[local_kf] & kf_sel[:, None], axis=0)  # [P]
+    local_mask &= m.mp_valid & ~cur_pts
+
+    # --- frustum / viewing cone / scale band (isInFrustum)
+    xc = m.mp_pos @ R.T + t
+    uv = project(cam, xc)
+    cam_center = -R.T @ t
+    dvec = m.mp_pos - cam_center
+    dist = jnp.linalg.norm(dvec, axis=-1)
+    view_cos = jnp.sum(dvec * m.mp_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    in_frustum = (
+        (xc[:, 2] > 0.05)
+        & in_image(cam, uv)
+        & (dist >= m.mp_min_dist)
+        & (dist <= m.mp_max_dist)
+        & (view_cos > 0.5)
+    )
+    cand_mask = local_mask & in_frustum
+
+    # predicted octave from distance (MapPoint::PredictScale, MapPoint.cc:418)
+    ratio = jnp.maximum(m.mp_max_dist / jnp.maximum(dist, 1e-9), 1.0)
+    pred_oct = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(SCALE)).astype(jnp.int32), 0, 7
+    )
+
+    # --- take up to max_local_pts candidates
+    _, cand = jax.lax.top_k(cand_mask.astype(jnp.int32), max_local_pts)
+    cvalid = cand_mask[cand]
+
+    # search radius: RadiusByViewingCos (ORBmatcher.cc:105) x scale
+    r0 = jnp.where(view_cos[cand] > 0.998, 2.5, 4.0)
+    radius = th * r0 * (SCALE ** pred_oct[cand].astype(jnp.float32))
+
+    res = matching.search_map_points(
+        m.mp_desc[cand], cvalid, uv[cand], pred_oct[cand], radius, frame,
+        ratio=0.8, max_dist=matching.TH_HIGH,
+    )
+    # fold new matches into obs (never overwrite existing associations)
+    tgt = jnp.clip(res.idx, 0)
+    newmp = jnp.where(res.matched, cand, -1)
+    prop = jnp.full((N,), -1, jnp.int32).at[tgt].max(newmp)
+    obs = jnp.where(obs >= 0, obs, jnp.where(frame.valid, prop, -1))
+
+    # --- final pose optimization over all associations
+    pobs = _pose_obs_from_obs(m, frame, obs)
+    R2, t2, inlier, n = pose_opt.optimize_pose(cam, R, t, pobs)
+    obs = jnp.where(inlier | ~pobs.valid, obs, -1)
+
+    # --- visible/found statistics (Tracking.cc:1246-1295 semantics)
+    mp_visible = m.mp_visible.at[cand].add(cvalid.astype(jnp.int32))
+    ids = jnp.clip(obs, 0)
+    found_mask = (obs >= 0) & inlier
+    mp_found = m.mp_found.at[ids].add(found_mask.astype(jnp.int32))
+    return LocalMapTrack(R2, t2, obs, n, n_local_kf, mp_visible, mp_found)

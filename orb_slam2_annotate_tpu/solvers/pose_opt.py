@@ -1,0 +1,154 @@
+"""Motion-only pose optimization (the TPU replacement of g2o PoseOptimization).
+
+Reference: Optimizer::PoseOptimization (Optimizer.cc:256-476): one SE3
+vertex, N unary mono/stereo reprojection edges with information
+I * invSigma2(octave), Huber delta sqrt(5.991) mono / sqrt(7.815) stereo,
+4 rounds of (10 LM iterations + chi2 inlier reclassification), robust
+kernel dropped after round 2.
+
+TPU design: the whole thing is one jitted program.  Edges are a padded
+array with a validity mask; each LM iteration computes all residuals and
+analytic Jacobians batched [N, 2, 6], reduces H = J^T W J (6x6) and
+g = J^T W r with masked sums, and solves the damped 6x6 system.  The
+"level 0/1" outlier mechanism of g2o becomes a boolean mask recomputed
+between rounds; "drop the robust kernel" becomes a flag that switches the
+Huber weight to 1.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie
+from ..geometry.camera import CameraModel
+
+CHI2_MONO = 5.991    # 95% chi2, 2 dof (Optimizer.cc:391)
+CHI2_STEREO = 7.815  # 95% chi2, 3 dof
+
+
+class PoseObs(NamedTuple):
+    """Padded unary observation set for one frame.
+
+    xw:       [N, 3] world points
+    uv:       [N, 2] observed (undistorted) pixels
+    ur:       [N]   observed right-image u (stereo/RGBD); <0 means mono obs
+    inv_sigma2: [N] information scale from the keypoint octave
+    valid:    [N]   bool
+    """
+
+    xw: jnp.ndarray
+    uv: jnp.ndarray
+    ur: jnp.ndarray
+    inv_sigma2: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def _residual_jac(cam: CameraModel, R, t, obs: PoseObs):
+    """Batched residuals and Jacobians wrt the left-multiplied se3 update.
+
+    Returns (r [N,3], J [N,3,6], is_stereo [N]).  Mono rows have r[:,2]=0,
+    J[2,:]=0 so they contribute 2 dof.
+    """
+    xc = obs.xw @ R.T + t  # [N, 3]
+    x, y, z = xc[:, 0], xc[:, 1], xc[:, 2]
+    z_safe = jnp.where(z < 1e-6, 1e-6, z)
+    iz = 1.0 / z_safe
+    iz2 = iz * iz
+
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    ur_pred = u - cam.bf * iz
+
+    is_stereo = obs.ur >= 0
+    r_u = u - obs.uv[:, 0]
+    r_v = v - obs.uv[:, 1]
+    r_r = jnp.where(is_stereo, ur_pred - obs.ur, 0.0)
+    r = jnp.stack([r_u, r_v, r_r], axis=1)
+
+    # d(uvr)/dxc
+    du = jnp.stack([cam.fx * iz, jnp.zeros_like(x), -cam.fx * x * iz2], axis=1)
+    dv = jnp.stack([jnp.zeros_like(x), cam.fy * iz, -cam.fy * y * iz2], axis=1)
+    dr = du + jnp.stack(
+        [jnp.zeros_like(x), jnp.zeros_like(x), cam.bf * iz2], axis=1
+    )
+    dr = jnp.where(is_stereo[:, None], dr, 0.0)
+    dpix = jnp.stack([du, dv, dr], axis=1)  # [N, 3, 3]
+
+    # dxc/dxi for left update xi=[rho,phi]: dxc = rho + dphi x xc
+    # => J_xc = [I | -hat(xc)]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), (xc.shape[0], 3, 3))
+    J_xc = jnp.concatenate([eye, -lie.hat(xc)], axis=2)  # [N, 3, 6]
+    J = dpix @ J_xc  # [N, 3, 6]
+    return r, J, is_stereo
+
+
+def _chi2(r, inv_sigma2, is_stereo):
+    e2 = jnp.sum(r * r, axis=1)
+    return e2 * inv_sigma2
+
+
+def _huber_weight(chi2, delta2, robust):
+    """Huber IRLS weight on the chi2 (residual already whitened by W)."""
+    w = jnp.where(chi2 > delta2, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)), 1.0)
+    return jnp.where(robust, w, 1.0)
+
+
+def optimize_pose(cam: CameraModel, R0, t0, obs: PoseObs,
+                  rounds: int = 4, iters_per_round: int = 10,
+                  lm_lambda0: float = 1e-3):
+    """Run the reference's 4x10 robust LM schedule.  Jit-safe.
+
+    Returns (R, t, inlier_mask [N], n_inliers).
+    """
+
+    def lm_round(carry, round_idx):
+        R, t, inlier = carry
+        robust = round_idx < 2  # kernel dropped after 2 rounds (Optimizer.cc:447)
+
+        def lm_iter(carry2, _):
+            R, t, lam = carry2
+            r, J, is_stereo = _residual_jac(cam, R, t, obs)
+            chi2 = _chi2(r, obs.inv_sigma2, is_stereo)
+            delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+            w_huber = _huber_weight(chi2, delta2, robust)
+            w = obs.inv_sigma2 * w_huber * (obs.valid & inlier)
+
+            Jw = J * w[:, None, None]
+            H = jnp.einsum("nij,nik->jk", Jw, J)  # [6,6]
+            g = jnp.einsum("nij,ni->j", Jw, r)
+            # LM damping + solve
+            H_damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
+            dx = -jnp.linalg.solve(H_damped, g)
+
+            R_new, t_new = lie.se3_retract(R, t, dx)
+            # accept if total robust chi2 decreased
+            r2, _, _ = _residual_jac(cam, R_new, t_new, obs)
+            chi2_new = _chi2(r2, obs.inv_sigma2, is_stereo)
+            mask_w = (obs.valid & inlier).astype(jnp.float32)
+            cost_old = jnp.sum(jnp.minimum(chi2, delta2 * 10.0) * mask_w)
+            cost_new = jnp.sum(jnp.minimum(chi2_new, delta2 * 10.0) * mask_w)
+            better = cost_new < cost_old
+            R = jax.tree.map(lambda a, b: jnp.where(better, a, b), R_new, R)
+            t = jnp.where(better, t_new, t)
+            lam = jnp.where(better, lam * 0.5, lam * 4.0)
+            return (R, t, lam), None
+
+        (R, t, _), _ = jax.lax.scan(
+            lm_iter, (R, t, jnp.asarray(lm_lambda0)), None, length=iters_per_round
+        )
+
+        # chi2 reclassification (Optimizer.cc:412-446)
+        r, _, is_stereo = _residual_jac(cam, R, t, obs)
+        chi2 = _chi2(r, obs.inv_sigma2, is_stereo)
+        delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+        inlier = obs.valid & (chi2 <= delta2)
+        return (R, t, inlier), None
+
+    inlier0 = obs.valid
+    (R, t, inlier), _ = jax.lax.scan(
+        lm_round, (R0, t0, inlier0), jnp.arange(rounds)
+    )
+    return R, t, inlier, jnp.sum(inlier)

@@ -1,0 +1,23 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; sharding-correctness tests
+use XLA's host-platform device virtualization instead (the same mechanism
+the driver's dryrun uses).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: XLA compiles dominate test wall-clock on the
+# 2-core CI box; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_orbtpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,76 @@
+"""Distributed BA on the virtual 8-device CPU mesh.
+
+Validates the sharding contract (shard_ba_problem layout) and that the
+mesh solution matches the single-device dense-Schur solver.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from orb_slam2_annotate_tpu.geometry import CameraModel
+from orb_slam2_annotate_tpu.parallel import dist_ba
+from orb_slam2_annotate_tpu.solvers import ba_core
+
+from .test_solvers import CAM, make_ba_problem, reproj_rmse
+
+
+def test_shard_problem_layout():
+    prob, *_ = make_ba_problem(n_cams=4, n_pts=50)
+    n = 4
+    sp = dist_ba.shard_ba_problem(prob, n)
+    assert sp.points.shape[0] % n == 0
+    assert sp.cam_idx.shape[0] % n == 0
+    per_p = sp.points.shape[0] // n
+    per_e = sp.cam_idx.shape[0] // n
+    pt = np.asarray(sp.pt_idx)
+    ev = np.asarray(sp.edge_valid)
+    # every valid edge's point lives on the edge's shard
+    for s in range(n):
+        sl = slice(s * per_e, (s + 1) * per_e)
+        pts_here = pt[sl][ev[sl]]
+        assert ((pts_here // per_p) == s).all()
+    # all original valid edges survived
+    assert ev.sum() == np.asarray(prob.edge_valid).sum()
+
+
+@pytest.mark.parametrize("n_dev", [8])
+def test_distributed_ba_matches_dense(n_dev):
+    prob, Rs, ts, X_true = make_ba_problem(n_cams=5, n_pts=64, seed=11)
+    rmse0 = reproj_rmse(CAM, prob)
+
+    sp = dist_ba.shard_ba_problem(prob, n_dev)
+    devices = np.array(jax.devices()[:n_dev])
+    mesh = Mesh(devices, ("mp",))
+    spec_pt = NamedSharding(mesh, P("mp"))
+    spec_rep = NamedSharding(mesh, P())
+    sp = sp._replace(
+        points=jax.device_put(sp.points, spec_pt),
+        pt_valid=jax.device_put(sp.pt_valid, spec_pt),
+        cam_idx=jax.device_put(sp.cam_idx, spec_pt),
+        pt_idx=jax.device_put(sp.pt_idx, spec_pt),
+        uv=jax.device_put(sp.uv, spec_pt),
+        ur=jax.device_put(sp.ur, spec_pt),
+        inv_sigma2=jax.device_put(sp.inv_sigma2, spec_pt),
+        edge_valid=jax.device_put(sp.edge_valid, spec_pt),
+        R=jax.device_put(sp.R, spec_rep),
+        t=jax.device_put(sp.t, spec_rep),
+        cam_fixed=jax.device_put(sp.cam_fixed, spec_rep),
+        cam_valid=jax.device_put(sp.cam_valid, spec_rep),
+    )
+
+    step = dist_ba.make_distributed_ba(mesh, iters=12)
+    R, t, X, cost = step(CAM, sp)
+
+    prob_out = sp._replace(R=R, t=t, points=X)
+    rmse1 = reproj_rmse(CAM, prob_out)
+    assert rmse0 > 2.0
+    assert rmse1 < 0.8, f"distributed BA rmse {rmse0} -> {rmse1}"
+
+    # poses match the truth (cam0 fixed gauge)
+    for c in range(prob.R.shape[0]):
+        dR = np.asarray(R[c]) @ Rs[c].T
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        assert ang < 5e-3, f"cam {c} rot err {ang}"

@@ -1,0 +1,100 @@
+"""Tests for the functional map state (worldmap/map_state.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_annotate_tpu.worldmap import map_state as ms
+
+
+def small_map(K=8, P=64, N=32):
+    return ms.empty_map(K, P, N)
+
+
+def test_insert_and_counts():
+    m = small_map()
+    N = m.N
+    xy = jnp.zeros((N, 2))
+    ur = jnp.full((N,), -1.0)
+    dep = jnp.zeros((N,))
+    octv = jnp.zeros((N,), jnp.int32)
+    ang = jnp.zeros((N,))
+    desc = jnp.zeros((N, 8), jnp.uint32)
+    fv = jnp.ones((N,), bool)
+    obs = jnp.full((N,), -1, jnp.int32)
+    m = ms.insert_keyframe(m, jnp.asarray(0), jnp.eye(3), jnp.zeros(3), 0, 0.0,
+                           xy, ur, dep, octv, ang, desc, fv, obs)
+    assert bool(m.kf_valid[0])
+    assert int(m.n_kf) == 1
+    assert int(ms.free_kf_slot(m)) == 1
+
+
+def test_observation_and_covisibility():
+    m = small_map()
+    N = m.N
+    mk = lambda: (
+        jnp.zeros((N, 2)), jnp.full((N,), -1.0), jnp.zeros((N,)),
+        jnp.zeros((N,), jnp.int32), jnp.zeros((N,)),
+        jnp.zeros((N, 8), jnp.uint32), jnp.ones((N,), bool),
+    )
+    # KF0 sees points 0..9 ; KF1 sees points 5..14 ; KF2 sees 20..24
+    def obs_range(a, b):
+        o = np.full(N, -1, np.int32)
+        o[: b - a] = np.arange(a, b)
+        return jnp.asarray(o)
+
+    for slot, (a, b) in enumerate([(0, 10), (5, 15), (20, 25)]):
+        m = ms.insert_keyframe(m, jnp.asarray(slot), jnp.eye(3), jnp.zeros(3),
+                               slot, 0.0, *mk(), obs_range(a, b))
+    m = m._replace(mp_valid=jnp.ones(m.P, bool))
+
+    O = ms.observation_matrix(m)
+    assert bool(O[0, 5]) and bool(O[1, 5]) and not bool(O[2, 5])
+    W = ms.covisibility(m)
+    assert int(W[0, 1]) == 5  # shared points 5..9
+    assert int(W[0, 2]) == 0
+    assert int(W[1, 1]) == 0  # diagonal zeroed
+
+    parents = ms.spanning_tree_parents(m)
+    assert int(parents[1]) == 0
+    assert int(parents[2]) == -1  # no covisibility with earlier KFs
+
+    counts = ms.mp_observation_counts(m)
+    assert int(counts[5]) == 2
+    assert int(counts[0]) == 1
+    assert int(counts[30]) == 0
+
+
+def test_update_mappoint_stats_descriptor_median():
+    m = small_map()
+    N = m.N
+    rng = np.random.RandomState(0)
+    descs = rng.randint(0, 2**31, (3, N, 8)).astype(np.uint32)
+    # KF0 and KF1 share point 0 at feature 0
+    obs = np.full((3, N), -1, np.int32)
+    obs[0, 0] = 0
+    obs[1, 0] = 0
+    obs[2, 0] = 0
+    for slot in range(3):
+        m = ms.insert_keyframe(
+            m, jnp.asarray(slot),
+            jnp.eye(3), jnp.asarray([0.1 * slot, 0, 0]),
+            slot, 0.0,
+            jnp.zeros((N, 2)), jnp.full((N,), -1.0), jnp.zeros((N,)),
+            jnp.zeros((N,), jnp.int32),
+            jnp.zeros((N,)), jnp.asarray(descs[slot]), jnp.ones((N,), bool),
+            jnp.asarray(obs[slot]),
+        )
+    m = m._replace(
+        mp_valid=jnp.zeros(m.P, bool).at[0].set(True),
+        mp_pos=m.mp_pos.at[0].set(jnp.asarray([0.0, 0.0, 5.0])),
+    )
+    m2 = ms.update_mappoint_stats(m)
+    # distinctive descriptor must be one of the observed descriptors
+    d = np.asarray(m2.mp_desc[0])
+    assert any((d == descs[s, 0]).all() for s in range(3))
+    # normal should point roughly from camera centers to the point (+z)
+    n = np.asarray(m2.mp_normal[0])
+    assert n[2] > 0.9
+    assert float(m2.mp_min_dist[0]) < 5.0 < float(m2.mp_max_dist[0]) + 1e-3
+    # point with no observations gets invalidated
+    assert not bool(m2.mp_valid[1])
