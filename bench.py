@@ -32,7 +32,7 @@ def main():
 
     cam = CameraModel.create(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                              width=640, height=480)
-    scene = synthetic.BlobScene(n_blobs=500, seed=1)
+    scene = synthetic.PlaneScene(seed=1)
     poses = synthetic.orbit_trajectory(n_frames, step=0.05)
 
     cfg = SlamConfig(n_features=1024, max_kf=128, max_mp=16384,

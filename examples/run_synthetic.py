@@ -24,11 +24,15 @@ from orb_slam2_annotate_tpu.pipeline import SlamConfig, System
 def main(n_frames: int = 40):
     cam = CameraModel.create(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
                              width=320, height=240)
-    scene = synthetic.BlobScene(seed=1)
+    scene = synthetic.PlaneScene(seed=1)
     poses = synthetic.orbit_trajectory(n_frames, step=0.06)
 
     cfg = SlamConfig(n_features=512, n_levels=4, max_kf=64, max_mp=8192,
-                     max_frames_between_kf=8, init_min_matches=60)
+                     max_frames_between_kf=8, init_min_matches=60,
+                     verbose='--verbose' in sys.argv,
+                     enable_fuse='--no-fuse' not in sys.argv,
+                     enable_cull='--no-cull' not in sys.argv,
+                     enable_local_ba='--no-ba' not in sys.argv)
     slam = System(cam, cfg)
 
     times = []

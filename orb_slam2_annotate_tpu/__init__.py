@@ -32,9 +32,7 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # programs and host compile time dominates cold starts on small hosts.
 import os as _os
 
-_cache_dir = _os.environ.get(
-    "ORBTPU_JAX_CACHE", _os.path.expanduser("~/.cache/orbtpu_jax")
-)
+_cache_dir = _os.environ.get("ORBTPU_JAX_CACHE", "/tmp/jax_cache_orbtpu")
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

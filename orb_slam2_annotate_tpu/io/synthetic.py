@@ -49,12 +49,26 @@ class BlobScene:
         img += np.linspace(0, 10, h, dtype=np.float32)[:, None]
         depth = np.full((h, w), 0.0, np.float32)
 
+        # world-fixed asymmetric lobe per blob: a secondary dot offset in a
+        # blob-specific direction, so the intensity-centroid orientation is
+        # well-defined and view-consistent (radially symmetric dots make
+        # IC angles pure noise)
+        if not hasattr(self, "_lobe"):
+            rng = np.random.RandomState(12345)
+            d = rng.randn(self.pts.shape[0], 3).astype(np.float32)
+            self._lobe = d / np.linalg.norm(d, axis=1, keepdims=True)
+        lobe_w = self.pts + self._lobe * (self.size[:, None] * 1.5)
+        lc = lobe_w @ R.T + t
+        lz = np.maximum(lc[:, 2], 1e-6)
+        lu = fx * lc[:, 0] / lz + cx
+        lv = fy * lc[:, 1] / lz + cy
+
         order = np.argsort(-z)  # far to near so near blobs overwrite depth
         for i in order:
             if not vis[i]:
                 continue
             s = max(float(sigma_px[i]), 0.8)
-            rad = int(3 * s + 1)
+            rad = int(3 * s + 1) + int(abs(lu[i] - u[i]) + abs(lv[i] - v[i]) + 2)
             ui, vi = int(round(u[i])), int(round(v[i]))
             if ui < -rad or ui >= w + rad or vi < -rad or vi >= h + rad:
                 continue
@@ -65,7 +79,10 @@ class BlobScene:
             xs = np.arange(x0, x1, dtype=np.float32) - u[i]
             ys = np.arange(y0, y1, dtype=np.float32) - v[i]
             g = np.exp(-(ys[:, None] ** 2 + xs[None, :] ** 2) / (2 * s * s))
-            img[y0:y1, x0:x1] += self.sign[i] * self.amp[i] * g
+            xs2 = np.arange(x0, x1, dtype=np.float32) - lu[i]
+            ys2 = np.arange(y0, y1, dtype=np.float32) - lv[i]
+            g2 = np.exp(-(ys2[:, None] ** 2 + xs2[None, :] ** 2) / (2 * s * s * 1.5))
+            img[y0:y1, x0:x1] += self.sign[i] * self.amp[i] * (g + 0.55 * g2)
             m = g > 0.3
             depth[y0:y1, x0:x1][m] = z[i]
         return np.clip(img, 0, 255), depth
@@ -91,6 +108,138 @@ def orbit_trajectory(n_frames: int, radius: float = 0.0, step: float = 0.05,
         )
         cw = np.array([k * step, 0.015 * np.sin(k * 0.2), 0.01 * k], np.float32)
         R = Rwc.T
+        t = -R @ cw
+        poses.append((R, t))
+    return poses
+
+
+class PlaneScene:
+    """Piecewise-planar textured scene rendered by homography warping.
+
+    Locally planar geometry with multi-scale noise textures is a much
+    closer proxy to indoor SLAM footage (TUM-style) than a blob cloud:
+    descriptors see affine-ish local appearance changes, exactly as on
+    real sequences.  Planes are rendered far-to-near with exact per-pixel
+    depth (affine in texture coordinates), so the RGB-D path works too.
+    """
+
+    def __init__(self, seed: int = 0, tex_size: int = 768):
+        rng = np.random.RandomState(seed)
+        self.planes = []  # (origin, U, V, texture)
+
+        def make_texture():
+            t = np.zeros((tex_size, tex_size), np.float32)
+            for octave in range(2, 7):
+                n = tex_size // (2 ** octave)
+                layer = rng.rand(n, n).astype(np.float32) - 0.5
+                layer = np.kron(layer, np.ones((2 ** octave, 2 ** octave),
+                                               np.float32))
+                t += layer * (1.4 ** octave)
+            t = t[:tex_size, :tex_size]
+            t = 120.0 + 60.0 * t / np.abs(t).max()
+            return np.clip(t, 5, 250)
+
+        # back wall (z = 9), floor (y = 2), two side panels
+        self.planes.append((np.array([-6.0, -4.0, 9.0]), np.array([12.0, 0, 0]),
+                            np.array([0, 8.0, 0]), make_texture()))
+        self.planes.append((np.array([-6.0, 2.0, 9.5]), np.array([12.0, 0, 0]),
+                            np.array([0, 0.0, -8.0]), make_texture()))
+        self.planes.append((np.array([-2.5, -1.5, 6.5]), np.array([2.0, 0, 0.3]),
+                            np.array([0, 2.0, 0]), make_texture()))
+        self.planes.append((np.array([1.0, -1.0, 5.5]), np.array([1.8, 0, -0.4]),
+                            np.array([0, 1.8, 0]), make_texture()))
+
+    def render(self, cam: CameraModel, R: np.ndarray, t: np.ndarray,
+               h: int = 480, w: int = 640):
+        import cv2
+
+        K = np.array([[float(cam.fx), 0, float(cam.cx)],
+                      [0, float(cam.fy), float(cam.cy)],
+                      [0, 0, 1.0]], np.float64)
+        img = np.full((h, w), 40.0, np.float32)
+        depth = np.zeros((h, w), np.float32)
+
+        order = []
+        for pi, (O, U, V, T) in enumerate(self.planes):
+            zc = (R @ (O + 0.5 * U + 0.5 * V) + t)[2]
+            order.append((zc, pi))
+        order.sort(reverse=True)  # far to near
+
+        for _, pi in order:
+            O, U, V, T = self.planes[pi]
+            th, tw = T.shape
+            # texture (s,t) in [0,1]^2 -> world -> camera -> pixels:
+            # world = B @ [s, t, 1], cam = R@world + t = [R@U | R@V | R@O+t]
+            B = np.stack([U, V, O], axis=1)
+            M = K @ (np.hstack([R @ B[:, :2], (R @ B[:, 2] + t)[:, None]]))
+            # homography texture px -> image px
+            S = np.diag([1.0 / tw, 1.0 / th, 1.0])
+            H = M @ S
+            # z in camera frame is affine in (s,t): z = a s + b t + c
+            a = (R @ U)[2]
+            b = (R @ V)[2]
+            c = (R @ O + t)[2]
+            ramp = np.fromfunction(
+                lambda yy, xx: (a * (xx + 0.5) / tw + b * (yy + 0.5) / th + c
+                                ).astype(np.float32), (th, tw)
+            )
+            warped = cv2.warpPerspective(
+                T, H, (w, h), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT, borderValue=-1.0,
+            )
+            wz = cv2.warpPerspective(
+                ramp, H, (w, h), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT, borderValue=-1.0,
+            )
+            m = (warped >= 0) & (wz > 0.1)
+            img[m] = warped[m]
+            depth[m] = wz[m]
+        return img, depth
+
+
+def true_correspondence(cam: CameraModel, Ra, ta, Rb, tb, depth_a, xy_a):
+    """Map pixels xy_a [N,2] in view A to view B via A's depth map.
+
+    Returns (xy_b [N,2], valid [N]): exact ground-truth correspondences
+    for any renderer that emits depth.  Used by descriptor-repeatability
+    evaluation and pattern training.
+    """
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    h, w = depth_a.shape
+    xi = np.clip(np.round(xy_a[:, 0]).astype(int), 0, w - 1)
+    yi = np.clip(np.round(xy_a[:, 1]).astype(int), 0, h - 1)
+    z = depth_a[yi, xi]
+    ok = z > 0
+    xc = np.stack([(xy_a[:, 0] - cx) / fx * z, (xy_a[:, 1] - cy) / fy * z, z], 1)
+    xw = (xc - ta) @ Ra  # Ra^T (xc - ta)
+    xb = xw @ Rb.T + tb
+    zb = np.maximum(xb[:, 2], 1e-6)
+    xy_b = np.stack([fx * xb[:, 0] / zb + cx, fy * xb[:, 1] / zb + cy], 1)
+    ok &= xb[:, 2] > 0.1
+    return xy_b.astype(np.float32), ok
+
+
+def loop_trajectory(n_frames: int, extent: float = 1.8, step: float = 0.06):
+    """Out-and-back sweep: x goes 0 -> extent -> 0, constant heading.
+
+    The return leg revisits earlier viewpoints, which lets loop closing
+    fire once drift has accumulated.
+    """
+    poses = []
+    xs = []
+    x = 0.0
+    direction = 1.0
+    for k in range(n_frames):
+        xs.append(x)
+        x += direction * step
+        if x >= extent:
+            direction = -1.0
+        if x <= 0 and direction < 0:
+            direction = 1.0
+    for k, xk in enumerate(xs):
+        R = np.eye(3, dtype=np.float32)
+        cw = np.array([xk, 0.0, 0.0], np.float32)
         t = -R @ cw
         poses.append((R, t))
     return poses

@@ -23,8 +23,12 @@ import jax.numpy as jnp
 
 from .hamming import MAX_DIST, hamming_pairwise, masked_min2
 
-TH_LOW = 50
-TH_HIGH = 100
+# Acceptance thresholds.  The reference uses 50/100 for OpenCV's learned
+# ORB pattern (ORBmatcher.cc:37-39); ours are re-tuned to this pattern's
+# matched/random Hamming statistics (see ops/pattern_train.py): matched
+# median ~50, random median ~120 on the evaluation corpus.
+TH_LOW = 64
+TH_HIGH = 105
 HISTO_LENGTH = 30
 
 

@@ -54,7 +54,19 @@ def _make_pattern(seed: int = 17) -> np.ndarray:
     return np.asarray(chosen, np.int32)
 
 
-PATTERN = jnp.asarray(_make_pattern())  # [256, 4]
+def _load_pattern() -> np.ndarray:
+    """Learned pattern if present (see pattern_train.py), else seeded random."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "brief_pattern.npy")
+    if os.path.exists(path):
+        pat = np.load(path)
+        if pat.shape == (N_BITS, 4):
+            return pat.astype(np.int32)
+    return _make_pattern()
+
+
+PATTERN = jnp.asarray(_load_pattern())  # [256, 4]
 
 
 def _circular_umax() -> np.ndarray:
@@ -90,10 +102,21 @@ def ic_angles(image: jnp.ndarray, kps: jnp.ndarray, valid: jnp.ndarray):
         )
         m10 = jnp.sum(p * GRID_X)
         m01 = jnp.sum(p * GRID_Y)
-        return m10, m01
+        n = jnp.sum(CIRC_MASK)
+        mu = jnp.sum(p * CIRC_MASK) / n
+        var = jnp.sum((p - mu) ** 2 * CIRC_MASK) / n
+        return m10, m01, var
 
-    m10, m01 = jax.vmap(patch_moments)(x0, y0)
-    return jnp.where(valid, jnp.arctan2(m01, m10), 0.0)
+    m10, m01, var = jax.vmap(patch_moments)(x0, y0)
+    # degenerate-orientation guard: for (near) radially symmetric patches
+    # the centroid direction is pure noise and the steered pattern would
+    # scramble between views — snap those to angle 0.  (The reference has
+    # no such guard, IC_Angle ORBextractor.cc:78.)  Significance scale:
+    # |m| for an uninformative patch ~ sigma_patch * sqrt(sum r^2).
+    mag2 = m10 * m10 + m01 * m01
+    sum_r2 = jnp.sum(GRID_X**2 + GRID_Y**2)
+    strong = mag2 > 4.0 * var * sum_r2
+    return jnp.where(valid & strong, jnp.arctan2(m01, m10), 0.0)
 
 
 def brief_descriptors(blurred: jnp.ndarray, kps: jnp.ndarray, angles: jnp.ndarray,
@@ -123,16 +146,30 @@ def brief_descriptors(blurred: jnp.ndarray, kps: jnp.ndarray, angles: jnp.ndarra
 
     xk = kps[:, 0:1]
     yk = kps[:, 1:2]
-    # nearest-pixel sampling like the reference (cvRound)
-    margin = PATTERN_RADIUS + 2
-    pyi = jnp.clip(jnp.round(yk + pry).astype(jnp.int32), 0, h - 1)
-    pxi = jnp.clip(jnp.round(xk + prx).astype(jnp.int32), 0, w - 1)
-    qyi = jnp.clip(jnp.round(yk + qry).astype(jnp.int32), 0, h - 1)
-    qxi = jnp.clip(jnp.round(xk + qrx).astype(jnp.int32), 0, w - 1)
-    del margin
 
-    ip = blurred[pyi, pxi]  # [N, 256] gather
-    iq = blurred[qyi, qxi]
+    # bilinear sampling (the reference rounds to nearest, ORBextractor
+    # computeOrbDescriptor:111; bilinear is markedly more stable under
+    # sub-pixel keypoint motion and costs only 4 gathers per sample)
+    def sample(yy, xx):
+        y = jnp.clip(yk + yy, 0.0, h - 1.001)
+        x = jnp.clip(xk + xx, 0.0, w - 1.001)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        fy = y - y0
+        fx = x - x0
+        v00 = blurred[y0, x0]
+        v01 = blurred[y0, x0 + 1]
+        v10 = blurred[y0 + 1, x0]
+        v11 = blurred[y0 + 1, x0 + 1]
+        return (
+            v00 * (1 - fy) * (1 - fx)
+            + v01 * (1 - fy) * fx
+            + v10 * fy * (1 - fx)
+            + v11 * fy * fx
+        )
+
+    ip = sample(pry, prx)  # [N, 256]
+    iq = sample(qry, qrx)
     bits = (ip < iq).astype(jnp.uint32)  # [N, 256]
 
     # pack into 8 uint32 words, little-endian bit order within each word

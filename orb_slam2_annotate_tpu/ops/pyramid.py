@@ -41,10 +41,14 @@ def build_pyramid(image: jnp.ndarray, n_levels: int = 8, scale: float = 1.2):
 
 @functools.lru_cache(maxsize=8)
 def _gaussian_kernel_1d(ksize: int, sigma: float):
+    # numpy (not jnp): a cached jnp array created inside a jit trace would
+    # leak the tracer into later calls
+    import numpy as np
+
     half = ksize // 2
-    x = jnp.arange(-half, half + 1, dtype=jnp.float32)
-    k = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
-    return k / jnp.sum(k)
+    x = np.arange(-half, half + 1, dtype=np.float32)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / np.sum(k)  # pure numpy: safe to cache across jit traces
 
 
 def gaussian_blur(image: jnp.ndarray, ksize: int = 7, sigma: float = 2.0):

@@ -114,14 +114,15 @@ def cull_recent_mappoints(m: ms.MapState) -> ms.MapState:
     """
     cur = m.n_kf - 1
     age = cur - m.mp_first_kf
-    recent = m.mp_valid & (m.mp_first_kf >= 0) & (age <= 3)
+    recent = m.mp_valid & (m.mp_first_kf >= 0) & (age <= 4)
     found_ratio = m.mp_found.astype(jnp.float32) / jnp.maximum(
         m.mp_visible.astype(jnp.float32), 1.0
     )
     n_obs = ms.mp_observation_counts(m)
-    bad = recent & (
-        (found_ratio < 0.25) | ((age >= 2) & (n_obs <= 2))
-    )
+    # thresholds are softer than the reference's (0.25 / age>=2&obs<=2):
+    # our keyframe cadence is sparser, so points legitimately take longer
+    # to accumulate a third observation
+    bad = recent & (found_ratio < 0.15) & (n_obs <= 2)
     mp_valid = m.mp_valid & ~bad
     # detach culled points from keyframe observations
     obs = m.kf_obs
@@ -349,11 +350,22 @@ def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
         )
         res = matching.search_map_points(
             m.mp_desc[cand], cvalid, uv[cand], pred_oct[cand], radius, fr,
-            ratio=1.0, max_dist=matching.TH_LOW,
+            ratio=0.9, max_dist=matching.TH_LOW,
         )
+        # geometric gates beyond the matcher's window: tight reprojection
+        # residual and (when the feature has depth) depth agreement.  The
+        # reference leans on ORB distinctiveness alone (Fuse, :940); our
+        # descriptors need the geometry to veto repetitive-texture matches.
+        tgt = jnp.clip(res.idx, 0)
+        sig2 = SCALE ** (2.0 * m.kf_octave[tkf][tgt].astype(jnp.float32))
+        e2 = jnp.sum((uv[cand] - m.kf_xy[tkf][tgt]) ** 2, axis=1)
+        z_pt = xc[cand][:, 2]
+        f_depth = m.kf_depth[tkf][tgt]
+        depth_ok = (f_depth <= 0) | (jnp.abs(z_pt - f_depth) < 0.05 * f_depth)
+        ok = res.matched & (e2 < 3.0 * sig2) & depth_ok
         # per-feature best source point
-        feat_pt = jnp.full((N,), -1, jnp.int32).at[jnp.clip(res.idx, 0)].max(
-            jnp.where(res.matched, cand.astype(jnp.int32), -1)
+        feat_pt = jnp.full((N,), -1, jnp.int32).at[tgt].max(
+            jnp.where(ok, cand.astype(jnp.int32), -1)
         )
         return feat_pt
 
@@ -371,6 +383,15 @@ def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
 
     add_mask = (existing < 0) & (prop >= 0)
     merge_mask = (existing >= 0) & (prop >= 0) & (existing != prop)
+    # geometric gate: only merge points that are actually close in 3D —
+    # duplicates from re-triangulation are; matches on repetitive texture
+    # are not (the reference trusts ORB descriptor distinctiveness here,
+    # ORBmatcher::Fuse:940; ours need the extra check)
+    p_ex = m.mp_pos[jnp.clip(existing, 0)]
+    p_pr = m.mp_pos[jnp.clip(prop, 0)]
+    d3 = jnp.linalg.norm(p_ex - p_pr, axis=-1)
+    depth_scale = jnp.maximum(jnp.linalg.norm(p_ex, axis=-1), 1e-3)
+    merge_mask &= d3 < 0.05 * depth_scale
 
     # merge: winner = more observations; remap loser -> winner
     ex = jnp.clip(existing, 0)
@@ -388,7 +409,11 @@ def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
     remap = remap[remap]
 
     new_obs_rows = jnp.where(add_mask, prop, existing)
-    kf_obs = m.kf_obs.at[targets].set(new_obs_rows)
+    # invalid filler targets may alias real slots — route them to a dump row
+    obs_tgt = jnp.where(tgt_ok, targets, K)
+    kf_obs = jnp.concatenate(
+        [m.kf_obs, jnp.zeros((1, N), jnp.int32)], 0
+    ).at[obs_tgt].set(new_obs_rows)[:K]
     live = remap == jnp.arange(P)
     kf_obs = jnp.where(kf_obs >= 0, remap[jnp.clip(kf_obs, 0)], -1)
     m = m._replace(kf_obs=kf_obs, mp_valid=m.mp_valid & live)
@@ -435,6 +460,15 @@ def local_bundle_adjustment(m: ms.MapState, cam: CameraModel, slot,
         [jnp.zeros((n_opt,), bool), jnp.ones((n_fixed,), bool)]
     )
     C = n_opt + n_fixed
+    # gauge: with no valid fixed frontier the problem is free-floating —
+    # anchor the oldest optimizable KF (the reference fixes KF id 0 in
+    # GBA, Optimizer.cc:90; scale drifts slowly through the damped LM,
+    # as in the reference's mono local BA)
+    no_frontier = ~jnp.any(fx_ok)
+    oldest = jnp.argmin(
+        jnp.where(opt_ok, m.kf_frame_id[opt_kfs], jnp.iinfo(jnp.int32).max)
+    )
+    cam_fixed = cam_fixed.at[oldest].set(cam_fixed[oldest] | no_frontier)
 
     # local point index: compact to P_BA slots
     P_BA = 4096
@@ -467,24 +501,84 @@ def local_bundle_adjustment(m: ms.MapState, cam: CameraModel, slot,
         uv=uv, ur=ur,
         inv_sigma2=_inv_sigma2(octv), edge_valid=ev,
     )
-    # 5 robust iters, outlier re-mask, 10 more (Optimizer.cc:668-704)
-    R1, t1, X1, inl1, _ = ba_core.bundle_adjust(cam, prob, iters=5, robust=True)
+    # robust iters, outlier re-mask, more iters (Optimizer.cc:668-704
+    # schedule, deepened: our LM rejects some steps so budget extra)
+    R1, t1, X1, inl1, _ = ba_core.bundle_adjust(cam, prob, iters=10, robust=True)
     prob2 = prob._replace(R=R1, t=t1, points=X1, edge_valid=ev & inl1)
-    R2, t2, X2, inl2, cost = ba_core.bundle_adjust(cam, prob2, iters=10, robust=True)
+    R2, t2, X2, inl2, cost = ba_core.bundle_adjust(cam, prob2, iters=20, robust=True)
 
-    # --- write back poses & points
+    # --- write back poses & points.  Invalid slots in cams_all/psel are
+    # top_k filler indices that may ALIAS valid slots elsewhere in the
+    # list; scattering them (even with old values) races against the
+    # real update.  Route them to a dump row instead.
     upd_cam = cams_ok & ~cam_fixed
-    kf_R = m.kf_R.at[cams_all].set(
-        jnp.where(upd_cam[:, None, None], R2, m.kf_R[cams_all])
-    )
-    kf_t = m.kf_t.at[cams_all].set(jnp.where(upd_cam[:, None], t2, m.kf_t[cams_all]))
-    mp_pos = m.mp_pos.at[psel].set(jnp.where(psel_ok[:, None], X2, m.mp_pos[psel]))
+    cam_tgt = jnp.where(upd_cam, cams_all, K)  # K = dump row
+    kf_R = jnp.concatenate([m.kf_R, jnp.zeros((1, 3, 3))], 0).at[cam_tgt].set(R2)[:K]
+    kf_t = jnp.concatenate([m.kf_t, jnp.zeros((1, 3))], 0).at[cam_tgt].set(t2)[:K]
+    pt_tgt = jnp.where(psel_ok, psel, P)
+    mp_pos = jnp.concatenate([m.mp_pos, jnp.zeros((1, 3))], 0).at[pt_tgt].set(X2)[:P]
 
     # --- drop outlier observations (Optimizer.cc:747-767)
     bad_edge = (ev & ~inl2).reshape(C, N)
-    obs_rows = m.kf_obs[cams_all]
-    obs_rows = jnp.where(bad_edge, -1, obs_rows)
-    kf_obs = m.kf_obs.at[cams_all].set(obs_rows)
+    obs_rows = jnp.where(bad_edge, -1, m.kf_obs[cams_all])
+    obs_tgt = jnp.where(cams_ok, cams_all, K)
+    kf_obs = jnp.concatenate(
+        [m.kf_obs, jnp.zeros((1, N), jnp.int32)], 0
+    ).at[obs_tgt].set(obs_rows)[:K]
 
     m = m._replace(kf_R=kf_R, kf_t=kf_t, mp_pos=mp_pos, kf_obs=kf_obs)
     return LocalBAOut(ms.update_mappoint_stats(m), jnp.sum(ev), cost)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def cull_keyframes(m: ms.MapState, protect_slot, max_cull: int = 4) -> ms.MapState:
+    """Redundant-keyframe culling (KeyFrameCulling, LocalMapping.cc:710):
+    a local keyframe whose map points are >= 90% observed by at least 3
+    OTHER keyframes at the same or finer scale is dropped.
+
+    TPU shape: the per-point observation table gives each observation's
+    octave; one gather per (keyframe-feature, observer) pair counts
+    redundant observations.  At most `max_cull` keyframes are removed per
+    call (newest keyframes and the protected slot are exempt).
+    """
+    K, P, N = m.K, m.P, m.N
+    obs_kf, obs_ft, obs_cnt, obs_mask = ms.observation_table(m)
+    obs_oct = m.kf_octave[obs_kf, obs_ft]  # [P, MAX_OBS]
+
+    # for every (k, n): its point's observers at octave <= oct(k,n)+1,
+    # excluding k itself
+    pid = jnp.clip(m.kf_obs, 0)                          # [K, N]
+    has = (m.kf_obs >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    oct_kn = m.kf_octave                                  # [K, N]
+    # gather per-point observer tables for each (k, n): [K, N, MAX_OBS]
+    o_kf = obs_kf[pid]
+    o_oct = obs_oct[pid]
+    o_msk = obs_mask[pid]
+    fine = o_msk & (o_oct <= oct_kn[..., None] + 1) & (
+        o_kf != jnp.arange(K)[:, None, None]
+    )
+    n_redundant = jnp.sum(fine, axis=-1)                  # [K, N]
+    red = has & (n_redundant >= 3)
+    n_obs_kf = jnp.sum(has, axis=1)
+    n_red_kf = jnp.sum(red, axis=1)
+    ratio = n_red_kf / jnp.maximum(n_obs_kf, 1)
+
+    # protect: invalid slots, the newest 3 keyframes, the protected slot
+    fid = m.kf_frame_id
+    order = jnp.argsort(-jnp.where(m.kf_valid, fid, -1))
+    newest = jnp.zeros((K,), bool).at[order[:3]].set(True)
+    cand = m.kf_valid & ~newest & (ratio >= 0.9)
+    cand = cand.at[protect_slot].set(False)
+
+    # drop up to max_cull, most-redundant first
+    score = jnp.where(cand, ratio, -1.0)
+    _, drop = jax.lax.top_k(score, max_cull)
+    drop_ok = score[drop] > 0
+    kf_valid = m.kf_valid.at[drop].set(
+        jnp.where(drop_ok, False, m.kf_valid[drop])
+    )
+    # clear dropped rows' observations
+    row_clear = jnp.zeros((K,), bool).at[drop].max(drop_ok)
+    kf_obs = jnp.where(row_clear[:, None], -1, m.kf_obs)
+    m = m._replace(kf_valid=kf_valid, kf_obs=kf_obs)
+    return ms.update_mappoint_stats(m)

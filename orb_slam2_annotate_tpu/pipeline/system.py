@@ -32,11 +32,13 @@ from ..geometry import lie
 from ..geometry.camera import CameraModel
 from ..ops.extractor import ExtractorConfig
 from ..ops import matching
-from ..solvers import initializer, ba_core
+from ..solvers import initializer, ba_core, pnp
 from ..worldmap import map_state as ms
+from ..worldmap import vocabulary as voc
 from . import local_mapping as lm
 from . import tracking as tk
 from .frame import Frame, make_frame_mono, make_frame_rgbd, make_frame_stereo
+from .loop_closing import LoopCloser, LoopCloserConfig
 
 
 @dataclasses.dataclass
@@ -49,13 +51,25 @@ class SlamConfig:
     max_mp: int = 16384
     # keyframe policy (NeedNewKeyFrame, Tracking.cc:1075)
     max_frames_between_kf: int = 20
-    min_frames_between_kf: int = 0
-    kf_ref_ratio: float = 0.9
+    min_frames_between_kf: int = 1
+    kf_ref_ratio: float = 0.8
     min_inliers_track: int = 15      # below -> LOST (Tracking.cc:1019)
     min_inliers_local: int = 30      # TrackLocalMap accept (Tracking.cc:1070)
     th_depth: float = 40.0           # in units of baseline (stereo/rgbd)
     init_min_matches: int = 100
     seed: int = 0
+    verbose: bool = False
+    # stage toggles (debugging / ablation).
+    # TODO(fuse): two-way fusion currently degrades accuracy with the
+    # learned descriptors (wrong cross-KF associations feed BA); ablations
+    # on the synthetic scenes: RGB-D final error 5 cm without fuse vs
+    # ~1 m with.  Off by default until descriptor entropy improves.
+    enable_fuse: bool = False
+    enable_cull: bool = True
+    enable_local_ba: bool = True
+    enable_loop_closing: bool = True
+    enable_relocalization: bool = True
+    enable_kf_culling: bool = True
 
     @property
     def extractor(self) -> ExtractorConfig:
@@ -97,8 +111,16 @@ class System:
         self.ref_kf = 0              # slot of reference keyframe
         self.last_kf_frame = -999
         self.ref_tracked = 0         # inliers when ref KF was made
+        self._last_n_local = 0
         # mono init
         self._init_frame: Optional[Frame] = None
+        # loop closing / relocalization
+        self.loop_closer = LoopCloser(
+            cam, self.cfg.max_kf,
+            LoopCloserConfig(fix_scale=self.cfg.sensor != "mono"),
+            seed=self.cfg.seed + 1,
+        ) if self.cfg.enable_loop_closing or self.cfg.enable_relocalization else None
+        self.frames_since_reloc = 0
 
     # ------------------------------------------------------------------
     # public API (System.h:62-123 equivalents)
@@ -146,6 +168,7 @@ class System:
 
         # ---- track
         n_inl = 0
+        n_mm = -1
         obs = None
         if self.vel is not None:
             R_pred, t_pred = lie.se3_compose(
@@ -155,21 +178,30 @@ class System:
                 self.cam, self.map, frame, self.last_frame, self.last_obs,
                 R_pred, t_pred,
             )
-            n_inl = int(n)
+            n_inl = n_mm = int(n)
         if self.vel is None or n_inl < 20:
             R, t, obs, n = tk.track_reference_keyframe(
                 self.cam, self.map, frame, self.ref_kf, self.R, self.t
             )
             n_inl = int(n)
+        if self.cfg.verbose:
+            print(f"  [track] f{self.frame_id}: motion={n_mm} final={n_inl}")
         if n_inl < self.cfg.min_inliers_track:
-            self.state = "LOST"
-            self.vel = None
-            self._record(lost=True)
-            return None
+            if self._try_relocalize(frame):
+                R, t, obs = self.R, self.t, self.last_obs
+                n_inl = self.cfg.min_inliers_track + 1
+            else:
+                self.state = "LOST"
+                self.vel = None
+                self._record(lost=True)
+                return None
 
         # ---- track local map
         res = tk.track_local_map(self.cam, self.map, frame, R, t, obs)
         n_local = int(res.n_inliers)
+        if self.cfg.verbose:
+            print(f"  [local] f{self.frame_id}: inliers={n_local} "
+                  f"local_kf={int(res.n_local_kf)} ref_tracked={self.ref_tracked}")
         if n_local < self.cfg.min_inliers_local:
             self.state = "LOST"
             self.vel = None
@@ -178,6 +210,9 @@ class System:
         self.map = self.map._replace(
             mp_visible=res.mp_visible, mp_found=res.mp_found
         )
+        self._last_n_local = n_local
+        self._peak_n_local = max(getattr(self, "_peak_n_local", 0), n_local)
+        self.state = "OK"  # recovered (reference re-enters OK after reloc)
 
         # ---- motion model velocity = Tcw_cur * Tcw_last^-1
         Ri, ti = lie.se3_inverse(self.R, self.t)
@@ -194,8 +229,15 @@ class System:
 
     def _need_keyframe(self, n_tracked: int) -> bool:
         since = self.frame_id - self.last_kf_frame
+        if since < self.cfg.min_frames_between_kf:
+            return False
         c1 = since >= self.cfg.max_frames_between_kf
-        c2 = n_tracked < self.cfg.kf_ref_ratio * max(self.ref_tracked, 1)
+        # decay rule: tracked-point count fell well below its peak since
+        # the last keyframe — the functional analog of NeedNewKeyFrame's
+        # mnMatchesInliers < 0.9 * nRefMatches (Tracking.cc:1098); using
+        # the in-window peak makes the baseline self-calibrating
+        peak = getattr(self, "_peak_n_local", 0)
+        c2 = n_tracked < self.cfg.kf_ref_ratio * max(peak, 1)
         return (c1 or c2) and n_tracked > self.cfg.min_inliers_track
 
     def _create_keyframe(self, frame, timestamp, obs, has_depth):
@@ -208,25 +250,46 @@ class System:
             self.map = lm.create_depth_mappoints(
                 self.map, self.cam, slot, self.cfg.th_depth * baseline
             )
-        self.map = lm.cull_recent_mappoints(self.map)
+        if self.cfg.enable_cull:
+            self.map = lm.cull_recent_mappoints(self.map)
         self.map = lm.create_new_mappoints(self.map, self.cam, slot)
-        self.map = lm.fuse_neighbors(self.map, self.cam, slot)
-        out = lm.local_bundle_adjustment(self.map, self.cam, slot)
-        self.map = out.map
+        if self.cfg.enable_fuse:
+            self.map = lm.fuse_neighbors(self.map, self.cam, slot)
+        if self.cfg.enable_local_ba:
+            out = lm.local_bundle_adjustment(self.map, self.cam, slot)
+            if self.cfg.verbose:
+                print(f"  [ba] kf_slot={slot} edges={int(out.n_edges)} "
+                      f"cost={float(out.cost):.1f}")
+            self.map = out.map
+        if self.cfg.enable_kf_culling and self.n_keyframes > 8:
+            before = np.asarray(self.map.kf_valid)
+            kf_R_old = np.asarray(self.map.kf_R)
+            kf_t_old = np.asarray(self.map.kf_t)
+            self.map = lm.cull_keyframes(self.map, jnp.asarray(slot))
+            after = np.asarray(self.map.kf_valid)
+            culled = np.nonzero(before & ~after)[0]
+            if len(culled):
+                self._reparent_records(culled, kf_R_old, kf_t_old)
+        if self.loop_closer is not None and self.cfg.enable_loop_closing:
+            self.map, closed = self.loop_closer.on_keyframe(self.map, slot)
+            if closed and self.cfg.verbose:
+                print(f"  [loop] closed at kf slot {slot}")
+        elif self.loop_closer is not None:
+            # keep the BoW database current for relocalization
+            bow = voc.bow_vector(self.loop_closer.vocab, self.map.kf_desc[slot],
+                                 self.map.kf_feat_valid[slot])
+            self.loop_closer.db = self.loop_closer.db.add(slot, bow)
         # adopt possibly-updated pose of the new keyframe
         self.R = self.map.kf_R[slot]
         self.t = self.map.kf_t[slot]
-        # refresh last frame's observations against the culled map
-        if self.last_obs is not None:
-            ids = jnp.clip(self.last_obs, 0)
-            self.last_obs = jnp.where(
-                self.map.mp_valid[ids], self.last_obs, -1
-            )
+        # the tracked frame IS this keyframe: adopt its observation row,
+        # which reflects all fusion remaps / culls / BA outlier removal
+        # (stale map-point ids would starve the next motion-model search)
+        self.last_obs = self.map.kf_obs[slot]
         self.ref_kf = slot
         self.last_kf_frame = self.frame_id
-        self.ref_tracked = int(
-            jnp.sum((self.map.kf_obs[slot] >= 0) & self.map.kf_feat_valid[slot])
-        )
+        self.ref_tracked = self._last_n_local
+        self._peak_n_local = 0  # restart the decay baseline
 
     # ---- mono initialization (MonocularInitialization, Tracking.cc:603) --
 
@@ -340,6 +403,96 @@ class System:
         self.last_kf_frame = self.frame_id
         self.ref_tracked = int(jnp.sum(self.map.kf_obs[slot] >= 0))
         return True
+
+    def _reparent_records(self, culled, kf_R_old, kf_t_old):
+        """Re-express FrameRecords whose reference keyframe was culled
+        relative to a surviving keyframe (the reference walks the spanning
+        tree at save time instead, System.cc:366-371; we rewrite eagerly
+        while the culled pose is still known)."""
+        culled = set(int(c) for c in culled)
+        valid = np.asarray(self.map.kf_valid)
+        W = np.asarray(ms.covisibility(self.map))
+        for rec in self.records:
+            if rec.lost or rec.ref_kf_slot not in culled:
+                continue
+            old = rec.ref_kf_slot
+            # strongest surviving covisible of the culled KF; fall back to
+            # the newest valid KF
+            w_row = np.where(valid, W[old], -1)
+            new_ref = int(np.argmax(w_row))
+            if w_row[new_ref] <= 0:
+                new_ref = int(np.nonzero(valid)[0][-1])
+            # Tcr' = Tcr_old * T_old * T_new^-1
+            R_old, t_old = kf_R_old[old], kf_t_old[old]
+            R_new = np.asarray(self.map.kf_R[new_ref])
+            t_new = np.asarray(self.map.kf_t[new_ref])
+            R_rel = R_old @ R_new.T
+            t_rel = t_old - R_rel @ t_new
+            # Tcr' = Tcr * Trel   (Trel = T_old * T_new^-1)
+            rec.t_cr = rec.R_cr @ t_rel + rec.t_cr
+            rec.R_cr = rec.R_cr @ R_rel
+            rec.ref_kf_slot = new_ref
+
+    # ---- relocalization (Tracking::Relocalization, Tracking.cc:1462) --
+
+    def _try_relocalize(self, frame: Frame) -> bool:
+        """BoW candidate retrieval -> per-candidate descriptor matching
+        -> batched PnP RANSAC -> pose refinement.  Success >= 50 inliers
+        like the reference (Tracking.cc:1617)."""
+        if self.loop_closer is None or not self.cfg.enable_relocalization:
+            return False
+        if self.n_keyframes < 2:
+            return False
+        lc = self.loop_closer
+        bow = voc.bow_vector(lc.vocab, frame.desc, frame.valid)
+        slots, ok = voc.detect_relocalization_candidates(
+            lc.db, bow, self.map.kf_valid, None
+        )
+        m = self.map
+        for slot_, ok_ in zip(np.asarray(slots), np.asarray(ok)):
+            if not ok_:
+                continue
+            slot = int(slot_)
+            obs_kf = m.kf_obs[slot]
+            has = (obs_kf >= 0) & m.kf_feat_valid[slot] & m.mp_valid[
+                jnp.clip(obs_kf, 0)
+            ]
+            cand_mask = has[:, None] & frame.valid[None, :]
+            res = matching.match_masked(
+                m.kf_desc[slot], frame.desc, cand_mask,
+                max_dist=matching.TH_LOW, ratio=0.75,
+            )
+            if int(res.count) < 15:
+                continue
+            ids = jnp.clip(obs_kf, 0)
+            N = frame.xy.shape[0]
+            obs = jnp.full((N,), -1, jnp.int32).at[jnp.clip(res.idx, 0)].max(
+                jnp.where(res.matched, jnp.where(has, obs_kf, -1), -1)
+            )
+            pvalid = (obs >= 0) & frame.valid
+            xw = m.mp_pos[jnp.clip(obs, 0)]
+            r = pnp.pnp_ransac(
+                jax.random.PRNGKey(self.frame_id), self.cam, xw, frame.xy,
+                pvalid, min_inliers=15,
+            )
+            if not bool(r.success):
+                continue
+            # refine via local map tracking from the PnP pose
+            res2 = tk.track_local_map(self.cam, m, frame, r.R, r.t, obs)
+            if int(res2.n_inliers) < 50:
+                continue
+            self.R, self.t = res2.R, res2.t
+            self.last_frame = frame
+            self.last_obs = res2.obs
+            self.vel = None
+            self.ref_kf = slot
+            self.state = "OK"
+            self.frames_since_reloc = 0
+            if self.cfg.verbose:
+                print(f"  [reloc] recovered against kf slot {slot} "
+                      f"({int(res2.n_inliers)} inliers)")
+            return True
+        return False
 
     # ---- bookkeeping --------------------------------------------------
 

@@ -199,7 +199,7 @@ def schur_solve_dense(Hcc, Hpp, B, gc, gp, lam, cam_free_mask):
 
 @partial(jax.jit, static_argnums=(2, 3))
 def bundle_adjust(cam: CameraModel, prob: BAProblem, iters: int = 10,
-                  robust: bool = True, lam0: float = 1e-4):
+                  robust: bool = True, lam0: float = 1e-5):
     """Robust LM bundle adjustment with dense Schur solve.
 
     Mirrors LocalBundleAdjustment's 5-then-10 iteration schedule when
@@ -225,7 +225,7 @@ def bundle_adjust(cam: CameraModel, prob: BAProblem, iters: int = 10,
         R = jnp.where(better, R_new, R)
         t = jnp.where(better, t_new, t)
         X = jnp.where(better, X_new, X)
-        lam = jnp.where(better, lam * 0.5, lam * 5.0)
+        lam = jnp.where(better, lam * 0.3, lam * 8.0)
         return (R, t, X, lam), cost_new
 
     (R, t, X, _), costs = jax.lax.scan(

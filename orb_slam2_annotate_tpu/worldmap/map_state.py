@@ -188,30 +188,23 @@ def free_mp_slots(m: MapState, count: int) -> jnp.ndarray:
     return idx
 
 
-@jax.jit
-def update_mappoint_stats(m: MapState) -> MapState:
-    """Recompute distinctive descriptors, normals and depth bands for all
-    valid map points from their observations.
+MAX_OBS = 16
 
-    Replaces MapPoint::ComputeDistinctiveDescriptors (min-median-Hamming,
-    MapPoint.cc:269-333) and UpdateNormalAndDepth (MapPoint.cc:360-404),
-    batched over every point at once.  MAX_OBS observations per point are
-    collected by scatter into a padded [P, MAX_OBS] table.
+
+def observation_table(m: MapState):
+    """Padded per-point observation lists.
+
+    Returns (obs_kf [P,MAX_OBS] i32, obs_ft [P,MAX_OBS] i32,
+    obs_cnt [P] i32, obs_mask [P,MAX_OBS] bool): for each map point, up
+    to MAX_OBS (keyframe, feature) observation pairs, gathered with one
+    stable sort over the flattened kf_obs array.
     """
-    from ..ops.hamming import hamming_pairwise
-
     K, P, N = m.K, m.P, m.N
-    MAX_OBS = 16
-
-    # gather observation lists: for each (k, n) with obs id p, write (k, n)
-    # into the next free column of point p's table.  Compute rank of each
-    # observation within its point via a stable sort over (p, k*N+n).
     flat_obs = jnp.where(
         m.kf_feat_valid & m.kf_valid[:, None], m.kf_obs, -1
     ).reshape(-1)  # [K*N]
     order = jnp.argsort(flat_obs, stable=True)  # groups by p, (k,n)-ordered within
     sorted_obs = flat_obs[order]
-    # rank within group
     idx = jnp.arange(K * N)
     grp_start = jnp.searchsorted(sorted_obs, jnp.arange(P))
     rank = idx - grp_start[jnp.clip(sorted_obs, 0)]
@@ -226,7 +219,24 @@ def update_mappoint_stats(m: MapState) -> MapState:
         (order % N).astype(jnp.int32)
     )[:P]
     obs_cnt = jnp.zeros((P + 1,), jnp.int32).at[pt].add(valid_o.astype(jnp.int32))[:P]
-    obs_mask = jnp.arange(MAX_OBS)[None, :] < obs_cnt[:, None]  # [P, MAX_OBS]
+    obs_mask = jnp.arange(MAX_OBS)[None, :] < obs_cnt[:, None]
+    return obs_kf, obs_ft, obs_cnt, obs_mask
+
+
+@jax.jit
+def update_mappoint_stats(m: MapState) -> MapState:
+    """Recompute distinctive descriptors, normals and depth bands for all
+    valid map points from their observations.
+
+    Replaces MapPoint::ComputeDistinctiveDescriptors (min-median-Hamming,
+    MapPoint.cc:269-333) and UpdateNormalAndDepth (MapPoint.cc:360-404),
+    batched over every point at once.  MAX_OBS observations per point are
+    collected by scatter into a padded [P, MAX_OBS] table.
+    """
+    from ..ops.hamming import hamming_pairwise
+
+    K, P, N = m.K, m.P, m.N
+    obs_kf, obs_ft, obs_cnt, obs_mask = observation_table(m)
 
     # ---- distinctive descriptor: min median distance among observations
     descs = m.kf_desc[obs_kf, obs_ft]  # [P, MAX_OBS, 8]

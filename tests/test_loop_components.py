@@ -1,0 +1,165 @@
+"""Unit tests for loop-closing components: vocabulary/BoW retrieval,
+PnP RANSAC, Sim3 RANSAC, and Sim3 pose-graph optimization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_annotate_tpu.geometry import CameraModel, lie
+from orb_slam2_annotate_tpu.solvers import pnp, sim3 as sim3_solver
+from orb_slam2_annotate_tpu.solvers.pose_graph import (
+    PoseGraphProblem, edge_measurement, optimize_pose_graph,
+)
+from orb_slam2_annotate_tpu.worldmap import vocabulary as voc
+
+CAM = CameraModel.create(fx=400.0, fy=400.0, cx=160.0, cy=120.0,
+                         width=320, height=240)
+
+
+def test_bow_similarity_discriminates():
+    rng = np.random.RandomState(0)
+    vocab = voc.make_vocabulary(512, 1)
+    d1 = rng.randint(0, 2**32, (300, 8), np.uint64).astype(np.uint32)
+    # same scene with a few bit flips
+    d1b = d1.copy()
+    flips = rng.randint(0, 2**32, d1.shape, np.uint64).astype(np.uint32)
+    mask = rng.rand(*d1.shape) < 0.05
+    d1b[mask] ^= flips[mask]
+    d2 = rng.randint(0, 2**32, (300, 8), np.uint64).astype(np.uint32)
+
+    v = jnp.ones(300, bool)
+    b1 = voc.bow_vector(vocab, jnp.asarray(d1), v)
+    b1b = voc.bow_vector(vocab, jnp.asarray(d1b), v)
+    b2 = voc.bow_vector(vocab, jnp.asarray(d2), v)
+    s_same = float(voc.l1_scores(b1[None], b1b)[0])
+    s_diff = float(voc.l1_scores(b1[None], b2)[0])
+    assert s_same > s_diff + 0.2, (s_same, s_diff)
+
+
+def test_keyframe_database_retrieval():
+    rng = np.random.RandomState(1)
+    vocab = voc.make_vocabulary(512, 1)
+    db = voc.KeyFrameDatabase.create(16, 512)
+    descs = []
+    v = jnp.ones(200, bool)
+    for k in range(8):
+        d = rng.randint(0, 2**32, (200, 8), np.uint64).astype(np.uint32)
+        descs.append(d)
+        db = db.add(k, voc.bow_vector(vocab, jnp.asarray(d), v))
+    # query = noisy copy of KF 3
+    q = descs[3].copy()
+    mask = rng.rand(*q.shape) < 0.05
+    q[mask] ^= rng.randint(0, 2**32, q.shape, np.uint64).astype(np.uint32)[mask]
+    bow_q = voc.bow_vector(vocab, jnp.asarray(q), v)
+    kf_valid = jnp.zeros(16, bool).at[:8].set(True)
+    slots, ok = voc.detect_relocalization_candidates(db, bow_q, kf_valid, None)
+    got = [int(s) for s, o in zip(np.asarray(slots), np.asarray(ok)) if o]
+    assert 3 in got[:2], got
+
+
+def test_pnp_ransac_with_outliers():
+    rng = np.random.RandomState(2)
+    n = 120
+    X = rng.uniform([-2, -2, 3], [2, 2, 9], (n, 3)).astype(np.float32)
+    R_true = np.asarray(lie.so3_exp(jnp.asarray([0.1, -0.2, 0.15], jnp.float32)))
+    t_true = np.array([0.3, -0.1, 0.4], np.float32)
+    Xc = X @ R_true.T + t_true
+    uv = np.stack(
+        [400 * Xc[:, 0] / Xc[:, 2] + 160, 400 * Xc[:, 1] / Xc[:, 2] + 120], 1
+    ) + rng.randn(n, 2) * 0.5
+    out = rng.choice(n, 30, replace=False)
+    uv[out] += rng.uniform(40, 120, (30, 2))
+
+    res = pnp.pnp_ransac(jax.random.PRNGKey(0), CAM, jnp.asarray(X),
+                         jnp.asarray(uv, jnp.float32), jnp.ones(n, bool))
+    assert bool(res.success)
+    dR = np.asarray(res.R) @ R_true.T
+    ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+    assert ang < 1e-2, ang
+    assert np.linalg.norm(np.asarray(res.t) - t_true) < 0.05
+    assert int(res.n_inliers) > 70
+
+
+def test_sim3_ransac_recovers_similarity():
+    rng = np.random.RandomState(3)
+    n = 80
+    # points in front of camera 1
+    x1 = rng.uniform([-2, -2, 3], [2, 2, 8], (n, 3)).astype(np.float32)
+    s_true = 1.4
+    R_true = np.asarray(lie.so3_exp(jnp.asarray([0.1, 0.3, -0.2], jnp.float32)))
+    t_true = np.array([0.5, -0.2, 0.8], np.float32)
+    x2 = s_true * x1 @ R_true.T + t_true
+    # observed pixels = projections (both point sets in front)
+    uv1 = np.stack([400 * x1[:, 0] / x1[:, 2] + 160, 400 * x1[:, 1] / x1[:, 2] + 120], 1)
+    uv2 = np.stack([400 * x2[:, 0] / x2[:, 2] + 160, 400 * x2[:, 1] / x2[:, 2] + 120], 1)
+    # corrupt 20 matches
+    x2n = x2.copy()
+    bad = rng.choice(n, 20, replace=False)
+    x2n[bad] = rng.uniform([-2, -2, 3], [2, 2, 8], (20, 3))
+
+    res = sim3_solver.sim3_ransac(
+        jax.random.PRNGKey(1), CAM, jnp.asarray(x1), jnp.asarray(x2n),
+        jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+    )
+    assert bool(res.success)
+    assert abs(float(res.s) - s_true) < 0.02
+    dR = np.asarray(res.R) @ R_true.T
+    ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+    assert ang < 1e-2
+    assert np.linalg.norm(np.asarray(res.t) - t_true) < 0.05
+
+
+def test_pose_graph_distributes_loop_error():
+    """Chain 0-1-...-9 with odometry edges + loop edge 9->0.  Simulated
+    drift: odometry measurements are exact, initial poses have accumulated
+    error; after optimization the loop must be consistent."""
+    K = 10
+    # ground truth: cameras on a circle
+    gt = []
+    for k in range(K):
+        th = 2 * np.pi * k / K
+        R = np.asarray(lie.so3_exp(jnp.asarray([0.0, th, 0.0], jnp.float32)))
+        t = np.asarray([np.cos(th), 0.0, np.sin(th)], np.float32)
+        gt.append((R, t))
+
+    # initial estimates: drifted (small error added per step, accumulated)
+    rng = np.random.RandomState(4)
+    est = [gt[0]]
+    for k in range(1, K):
+        # relative GT motion
+        Rr, tr = lie.se3_compose(*gt[k], *lie.se3_inverse(*map(jnp.asarray, gt[k - 1])))
+        dR, dt = lie.se3_exp(jnp.asarray(rng.randn(6) * 0.02, jnp.float32))
+        Rn, tn = lie.se3_compose(dR, dt, Rr, tr)
+        est.append(tuple(np.asarray(x) for x in lie.se3_compose(Rn, tn, *map(jnp.asarray, est[k - 1]))))
+
+    s0 = jnp.ones(K)
+    R0 = jnp.asarray(np.stack([e[0] for e in est]))
+    t0 = jnp.asarray(np.stack([e[1] for e in est]))
+
+    # edges: consecutive + loop, with EXACT GT measurements
+    e_i, e_j, es, eR, et = [], [], [], [], []
+    pairs = [(k, k + 1) for k in range(K - 1)] + [(K - 1, 0)]
+    for i, j in pairs:
+        sm, Rm, tm = edge_measurement(
+            jnp.ones(()), jnp.asarray(gt[i][0]), jnp.asarray(gt[i][1]),
+            jnp.ones(()), jnp.asarray(gt[j][0]), jnp.asarray(gt[j][1]),
+        )
+        e_i.append(i); e_j.append(j)
+        es.append(float(sm)); eR.append(np.asarray(Rm)); et.append(np.asarray(tm))
+
+    E = len(e_i)
+    fixed = jnp.zeros(K, bool).at[0].set(True)
+    prob = PoseGraphProblem(
+        s=s0, R=R0, t=t0, fixed=fixed, valid=jnp.ones(K, bool),
+        e_i=jnp.asarray(e_i, jnp.int32), e_j=jnp.asarray(e_j, jnp.int32),
+        e_s=jnp.asarray(es), e_R=jnp.asarray(np.stack(eR)),
+        e_t=jnp.asarray(np.stack(et)),
+        e_valid=jnp.ones(E, bool), e_weight=jnp.ones(E),
+    )
+    s1, R1, t1, cost = optimize_pose_graph(prob, iters=25)
+    assert float(cost) < 1e-4, float(cost)
+    # poses should match GT (anchor 0 fixed at GT)
+    for k in range(K):
+        c_est = -np.asarray(R1[k]).T @ (np.asarray(t1[k]) / float(s1[k]))
+        c_gt = -gt[k][0].T @ gt[k][1]
+        assert np.linalg.norm(c_est - c_gt) < 2e-2, (k, c_est, c_gt)

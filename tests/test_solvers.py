@@ -189,3 +189,20 @@ def test_ba_flags_outlier_edges():
     assert inl[bad].mean() < 0.1, "outlier edges not flagged"
     good = np.setdiff1d(np.arange(uv.shape[0]), bad)
     assert inl[good].mean() > 0.95, "too many good edges flagged"
+
+
+def test_ba_cg_matches_dense_schur():
+    """Matrix-free Schur-PCG must converge like the dense solver."""
+    from orb_slam2_annotate_tpu.solvers import ba_cg
+
+    prob, Rs, ts, X_true = make_ba_problem(seed=6)
+    rmse0 = reproj_rmse(CAM, prob)
+    R, t, X, inlier, cost = ba_cg.bundle_adjust_cg(CAM, prob, iters=15,
+                                                   cg_iters=30)
+    rmse1 = reproj_rmse(CAM, prob._replace(R=R, t=t, points=X))
+    assert rmse0 > 2.0
+    assert rmse1 < 0.8, f"CG BA rmse {rmse0} -> {rmse1}"
+    for c in range(prob.R.shape[0]):
+        dR = np.asarray(R[c]) @ Rs[c].T
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        assert ang < 5e-3, f"cam {c} rot err {ang}"
