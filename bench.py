@@ -13,12 +13,42 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_FPS = 30.0  # reference i7 real-time rate (README.md:65)
+
+
+def _ensure_usable_backend(timeout_s: float = 120.0):
+    """The axon TPU claim is exclusive; a wedged grant makes jax backend
+    init hang forever.  Probe device init in a subprocess first and fall
+    back to CPU if it does not come up, so the benchmark always reports.
+    """
+    if os.environ.get("ORBTPU_BENCH_CHILD"):
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        if r.returncode == 0 and "ok" in r.stdout:
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    print("bench: TPU backend unavailable (wedged claim?) — "
+          "falling back to CPU", file=sys.stderr)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["ORBTPU_BENCH_CHILD"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+_ensure_usable_backend()
 
 
 def main():
