@@ -1,3 +1,3 @@
-from . import config, datasets, evaluation, synthetic, trajectory
+from . import checkpoint, config, datasets, evaluation, synthetic, trajectory
 
-__all__ = ["config", "datasets", "evaluation", "synthetic", "trajectory"]
+__all__ = ["checkpoint", "config", "datasets", "evaluation", "synthetic", "trajectory"]

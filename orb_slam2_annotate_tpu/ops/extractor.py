@@ -53,7 +53,16 @@ class Features(NamedTuple):
 
 
 def _extract_level(img, budget, cfg: ExtractorConfig, level: int):
-    score, is_hi = fast.fast_score_map(img, cfg.th_fast_lo, cfg.th_fast_hi)
+    import os
+
+    if os.environ.get("ORBTPU_USE_PALLAS", "0") == "1":
+        from . import pallas_kernels
+
+        score, is_hi = pallas_kernels.fast_score_map_pallas(
+            img, cfg.th_fast_lo, cfg.th_fast_hi
+        )
+    else:
+        score, is_hi = fast.fast_score_map(img, cfg.th_fast_lo, cfg.th_fast_hi)
     score = fast.nms3x3(score)
     # mask out the EDGE margin so patches stay inside
     h, w = img.shape

@@ -9,17 +9,26 @@ pure VPU work that XLA fuses into one pass over the [N, M, 8] cube.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 MAX_DIST = 256
+_USE_PALLAS = os.environ.get("ORBTPU_USE_PALLAS", "0") == "1"
 
 
 def hamming_pairwise(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """All-pairs Hamming distances.
 
     a: [N, 8] u32, b: [M, 8] u32 -> [N, M] i32 in [0, 256].
+    With ORBTPU_USE_PALLAS=1 the tiled Pallas kernel is used instead of
+    the XLA expression (see ops/pallas_kernels.py).
     """
+    if _USE_PALLAS:
+        from . import pallas_kernels
+
+        return pallas_kernels.hamming_pairwise_pallas(a, b)
     x = a[:, None, :] ^ b[None, :, :]
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 

@@ -192,8 +192,8 @@ class LoopCloser:
         loc = {int(g): i for i, g in enumerate(ids)}
 
         s0 = np.ones(Kv, np.float32)
-        R0 = np.asarray(m.kf_R[jnp.asarray(ids)])
-        t0 = np.asarray(m.kf_t[jnp.asarray(ids)])
+        R0 = np.array(m.kf_R[jnp.asarray(ids)])  # writable copies
+        t0 = np.array(m.kf_t[jnp.asarray(ids)])
         # slot starts at its corrected pose (non-corrected neighbors will be
         # pulled by the optimization; reference corrects the covisible group
         # explicitly first — the pose graph achieves the same fixed point)

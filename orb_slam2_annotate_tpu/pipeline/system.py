@@ -147,6 +147,33 @@ class System:
     def reset(self):
         self.__init__(self.cam, self.cfg)
 
+    def save_map(self, path: str):
+        """Persist the map (reference System.h:115 SaveMap TODO)."""
+        from ..io import checkpoint
+
+        checkpoint.save_map(path, self.map, extra={
+            "frame_id": self.frame_id,
+            "ref_kf": int(self.ref_kf),
+        })
+
+    def load_map(self, path: str):
+        """Restore a map; tracking resumes in relocalization mode."""
+        from ..io import checkpoint
+
+        self.map, extra = checkpoint.load_map(path)
+        self.state = "LOST"          # must relocalize into the loaded map
+        self.vel = None
+        self.ref_kf = int(extra.get("ref_kf", 0))
+        if self.loop_closer is not None:
+            # rebuild the BoW database from keyframe descriptors
+            lc = self.loop_closer
+            for slot in np.nonzero(np.asarray(self.map.kf_valid))[0]:
+                bow = voc.bow_vector(
+                    lc.vocab, self.map.kf_desc[int(slot)],
+                    self.map.kf_feat_valid[int(slot)],
+                )
+                lc.db = lc.db.add(int(slot), bow)
+
     # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------

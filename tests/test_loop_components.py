@@ -163,3 +163,89 @@ def test_pose_graph_distributes_loop_error():
         c_est = -np.asarray(R1[k]).T @ (np.asarray(t1[k]) / float(s1[k]))
         c_gt = -gt[k][0].T @ gt[k][1]
         assert np.linalg.norm(c_est - c_gt) < 2e-2, (k, c_est, c_gt)
+
+
+def test_loop_closer_corrects_constructed_drift():
+    """Build a keyframe chain whose last keyframe physically revisits the
+    first but carries accumulated drift; its features duplicate the first
+    keyframe's (fresh map-point copies, so no covisibility link).  The
+    LoopCloser must detect the revisit via BoW, compute the corrective
+    Sim3 and pull the last keyframe (and the chain) back."""
+    import jax.numpy as jnp
+
+    from orb_slam2_annotate_tpu.pipeline.loop_closing import (
+        LoopCloser, LoopCloserConfig,
+    )
+    from orb_slam2_annotate_tpu.worldmap import map_state as ms
+
+    rng = np.random.RandomState(7)
+    K, P, N = 16, 2048, 128
+    m = ms.empty_map(K, P, N)
+
+    # shared scene for KF0/KF11: N points in front of the origin camera
+    X0 = rng.uniform([-2, -2, 4], [2, 2, 8], (N, 3)).astype(np.float32)
+    desc0 = rng.randint(0, 2**32, (N, 8), np.uint64).astype(np.uint32)
+
+    def project(Xc):
+        return np.stack(
+            [400 * Xc[:, 0] / Xc[:, 2] + 160, 400 * Xc[:, 1] / Xc[:, 2] + 120],
+            axis=1,
+        ).astype(np.float32)
+
+    def add_kf(slot, R, t, Xw, desc, mp_base):
+        Xc = Xw @ np.asarray(R).T + np.asarray(t)
+        uv = project(Xc)
+        obs = np.arange(mp_base, mp_base + N, dtype=np.int32)
+        nonlocal_m = ms.insert_keyframe(
+            add_kf.m, jnp.asarray(slot), jnp.asarray(R), jnp.asarray(t),
+            slot, float(slot),
+            jnp.asarray(uv), jnp.full((N,), -1.0), jnp.zeros((N,)),
+            jnp.zeros((N,), jnp.int32), jnp.zeros((N,)),
+            jnp.asarray(desc), jnp.ones((N,), bool), jnp.asarray(obs),
+        )
+        nonlocal_m = nonlocal_m._replace(
+            mp_pos=nonlocal_m.mp_pos.at[mp_base:mp_base + N].set(jnp.asarray(Xw)),
+            mp_valid=nonlocal_m.mp_valid.at[mp_base:mp_base + N].set(True),
+            mp_desc=nonlocal_m.mp_desc.at[mp_base:mp_base + N].set(jnp.asarray(desc)),
+        )
+        add_kf.m = nonlocal_m
+
+    add_kf.m = m
+
+    # KF0 at identity seeing the shared scene
+    add_kf(0, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), X0, desc0, 0)
+    # KFs 1..10: a sweep away and back, each with its own random scene
+    for k in range(1, 11):
+        Rk = np.eye(3, dtype=np.float32)
+        tk = np.array([-0.3 * min(k, 10 - k + 1), 0, 0], np.float32)
+        Xk = rng.uniform([-2, -2, 4], [2, 2, 8], (N, 3)).astype(np.float32)
+        dk = rng.randint(0, 2**32, (N, 8), np.uint64).astype(np.uint32)
+        add_kf(k, Rk, tk, Xk, dk, k * N)
+    # KF11: TRUE pose == KF0 (revisit) but estimated with drift; it sees
+    # the SHARED scene through its DRIFTED pose via its own point copies
+    # placed consistently with the drift (local consistency, global error)
+    drift = np.array([0.25, 0.1, -0.15], np.float32)
+    R11 = np.eye(3, dtype=np.float32)
+    t11 = drift.copy()              # estimated pose (true: identity)
+    # points as seen: camera coords must equal the TRUE view of X0
+    # (camera at identity) -> world copies = R11^T (Xc - t11)
+    Xc_true = X0                    # camera frame coords at the true pose
+    X11 = (Xc_true - t11) @ R11
+    add_kf(11, R11, t11, X11, desc0, 11 * N)
+
+    m = add_kf.m
+    m = ms.update_mappoint_stats(m)
+
+    cam = CAM
+    lc = LoopCloser(cam, K, LoopCloserConfig(consistency_th=1, gap_kf=3))
+    # populate the database with keyframes 0..10
+    from orb_slam2_annotate_tpu.worldmap import vocabulary as voc
+    for k in range(11):
+        bow = voc.bow_vector(lc.vocab, m.kf_desc[k], m.kf_feat_valid[k])
+        lc.db = lc.db.add(k, bow)
+
+    m2, closed = lc.on_keyframe(m, 11)
+    assert closed, "loop was not detected/closed"
+    # corrected KF11 pose must be near the true pose (identity)
+    t_corr = np.asarray(m2.kf_t[11])
+    assert np.linalg.norm(t_corr) < 0.08, t_corr
