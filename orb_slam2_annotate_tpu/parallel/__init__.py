@@ -1,3 +1,3 @@
-from . import dist_ba
+from . import dist_ba, mesh
 
-__all__ = ["dist_ba"]
+__all__ = ["dist_ba", "mesh"]

@@ -1,0 +1,39 @@
+"""Device-mesh helpers for single- and multi-host runs.
+
+The reference has no distributed layer (SURVEY §2.4); here a mesh is the
+unit of scaling: distributed BA shards map points over it (dist_ba).
+This module wraps jax.distributed initialization for multi-host SPMD
+(DCN-coordinated, ICI within each slice) and mesh construction.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def init_multi_host(coordinator: str | None = None,
+                    num_processes: int | None = None,
+                    process_id: int | None = None) -> None:
+    """Initialize jax.distributed from args or the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    No-op when single-process."""
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=process_id or int(os.environ["JAX_PROCESS_ID"]),
+    )
+
+
+def map_mesh(n_devices: int | None = None, axis: str = "mp") -> Mesh:
+    """1-D mesh over all (or the first n) devices for map-point sharding."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))

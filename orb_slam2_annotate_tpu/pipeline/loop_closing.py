@@ -49,6 +49,8 @@ class LoopCloserConfig:
     fix_scale: bool = False       # True for stereo/RGBD
     pose_graph_iters: int = 15
     gap_kf: int = 10              # candidate must be >= this many KFs old
+    run_global_ba: bool = True    # full BA after the essential graph
+    global_ba_iters: int = 10     # (RunGlobalBundleAdjustment, :756)
 
 
 class LoopCloser:
@@ -293,5 +295,41 @@ class LoopCloser:
             mp_pos=jnp.asarray(pos),
         )
         m = ms.update_mappoint_stats(m)
+        if cfg.run_global_ba:
+            m = self._global_ba(m, anchor=cand)
         self.loop_edges.append((slot, cand))
         return m
+
+    # ------------------------------------------------------------------
+
+    def _global_ba(self, m: ms.MapState, anchor: int) -> ms.MapState:
+        """Full-map bundle adjustment after a loop closure
+        (RunGlobalBundleAdjustment, LoopClosing.cc:756) using the
+        matrix-free Schur-PCG engine (scales past the dense solver)."""
+        from ..solvers import ba_cg
+        from ..solvers.ba_core import BAProblem
+
+        K, P, N = m.K, m.P, m.N
+        obs = m.kf_obs
+        feat_ok = m.kf_feat_valid & m.kf_valid[:, None]
+        e_valid = feat_ok & (obs >= 0) & m.mp_valid[jnp.clip(obs, 0)]
+        cam_idx = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N)).reshape(-1)
+        pt_idx = jnp.clip(obs, 0).reshape(-1)
+        octv = m.kf_octave.reshape(-1).astype(jnp.float32)
+        inv_s2 = 1.0 / (1.2 ** (2.0 * octv))
+        cam_fixed = jnp.zeros((K,), bool).at[anchor].set(True)
+        prob = BAProblem(
+            R=m.kf_R, t=m.kf_t, points=m.mp_pos,
+            cam_fixed=cam_fixed | ~m.kf_valid,
+            cam_valid=m.kf_valid, pt_valid=m.mp_valid,
+            cam_idx=cam_idx.astype(jnp.int32), pt_idx=pt_idx.astype(jnp.int32),
+            uv=m.kf_xy.reshape(-1, 2), ur=m.kf_ur.reshape(-1),
+            inv_sigma2=inv_s2, edge_valid=e_valid.reshape(-1),
+        )
+        R, t, X, inlier, cost = ba_cg.bundle_adjust_cg(
+            self.cam, prob, iters=self.cfg.global_ba_iters, cg_iters=25,
+        )
+        bad = prob.edge_valid & ~inlier
+        kf_obs = jnp.where(bad.reshape(K, N), -1, m.kf_obs)
+        m = m._replace(kf_R=R, kf_t=t, mp_pos=X, kf_obs=kf_obs)
+        return ms.update_mappoint_stats(m)

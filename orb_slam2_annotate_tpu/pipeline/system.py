@@ -35,6 +35,7 @@ from ..ops import matching
 from ..solvers import initializer, ba_core, pnp
 from ..worldmap import map_state as ms
 from ..worldmap import vocabulary as voc
+from ..utils.telemetry import Telemetry
 from . import local_mapping as lm
 from . import tracking as tk
 from .frame import Frame, make_frame_mono, make_frame_rgbd, make_frame_stereo
@@ -115,6 +116,7 @@ class System:
         # mono init
         self._init_frame: Optional[Frame] = None
         # loop closing / relocalization
+        self.telemetry = Telemetry()
         self.loop_closer = LoopCloser(
             cam, self.cfg.max_kf,
             LoopCloserConfig(fix_scale=self.cfg.sensor != "mono"),
@@ -128,8 +130,9 @@ class System:
 
     def track_mono(self, image: np.ndarray, timestamp: float):
         """image: [H,W] grayscale float32/uint8.  Returns 4x4 Tcw or None."""
-        img = jnp.asarray(np.asarray(image, np.float32))
-        frame = make_frame_mono(img, self.cam, self.cfg.extractor)
+        with self.telemetry.stage("frontend/extract"):
+            img = jnp.asarray(np.asarray(image, np.float32))
+            frame = make_frame_mono(img, self.cam, self.cfg.extractor)
         return self._track(frame, timestamp)
 
     def track_rgbd(self, image, depth, timestamp: float):
@@ -143,6 +146,19 @@ class System:
         ir = jnp.asarray(np.asarray(image_r, np.float32))
         frame = make_frame_stereo(il, ir, self.cam, self.cfg.extractor)
         return self._track(frame, timestamp, has_depth=True)
+
+    def activate_localization_mode(self):
+        """Track against the frozen map without mapping
+        (System::ActivateLocalizationMode, System.cc:229-247)."""
+        self._localization_only = True
+
+    def deactivate_localization_mode(self):
+        self._localization_only = False
+
+    def change_calibration(self, cam: CameraModel):
+        """Runtime recalibration (Tracking::ChangeCalibration,
+        Tracking.cc:1683)."""
+        self.cam = cam
 
     def reset(self):
         self.__init__(self.cam, self.cfg)
@@ -224,7 +240,8 @@ class System:
                 return None
 
         # ---- track local map
-        res = tk.track_local_map(self.cam, self.map, frame, R, t, obs)
+        with self.telemetry.stage("tracking/local_map"):
+            res = tk.track_local_map(self.cam, self.map, frame, R, t, obs)
         n_local = int(res.n_inliers)
         if self.cfg.verbose:
             print(f"  [local] f{self.frame_id}: inliers={n_local} "
@@ -249,6 +266,9 @@ class System:
         self.last_obs = res.obs
 
         # ---- keyframe policy
+        if getattr(self, "_localization_only", False):
+            self._record()
+            return self._pose44()
         if self._need_keyframe(n_local):
             self._create_keyframe(frame, timestamp, res.obs, has_depth)
         self._record()
@@ -268,6 +288,8 @@ class System:
         return (c1 or c2) and n_tracked > self.cfg.min_inliers_track
 
     def _create_keyframe(self, frame, timestamp, obs, has_depth):
+        self._tele_kf = self.telemetry.stage("mapping/keyframe")
+        self._tele_kf.__enter__()
         self.map, slot = lm.insert_keyframe_from_frame(
             self.map, frame, self.R, self.t, obs, self.frame_id, timestamp
         )
@@ -317,6 +339,7 @@ class System:
         self.last_kf_frame = self.frame_id
         self.ref_tracked = self._last_n_local
         self._peak_n_local = 0  # restart the decay baseline
+        self._tele_kf.__exit__(None, None, None)
 
     # ---- mono initialization (MonocularInitialization, Tracking.cc:603) --
 

@@ -1,0 +1,172 @@
+"""Multi-session map merging.
+
+The reference has no multi-map support (one Map object per process); the
+BASELINE.json configs ask for multi-session joint mapping (EuRoC MH01-05
+style).  Because a map here is a value, merging is: find a cross-map
+keyframe correspondence by BoW, solve the inter-map Sim3 from matched
+map points, transform session B into session A's frame, and concatenate
+arrays with re-indexed slots.  A joint bundle adjustment (ba_cg) after
+the merge refines the seam.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie
+from ..geometry.camera import CameraModel
+from ..ops import matching
+from ..solvers import sim3 as sim3_solver
+from . import map_state as ms
+from . import vocabulary as voc
+
+
+class MergeResult(NamedTuple):
+    map: ms.MapState
+    success: bool
+    kf_a: int          # anchor keyframe in A
+    kf_b: int          # matched keyframe in B
+    scale: float       # scale applied to B
+
+
+def find_cross_map_pair(m_a: ms.MapState, m_b: ms.MapState, vocab):
+    """Best BoW-matching keyframe pair (slot_a, slot_b, score)."""
+    va = np.nonzero(np.asarray(m_a.kf_valid))[0]
+    vb = np.nonzero(np.asarray(m_b.kf_valid))[0]
+    if len(va) == 0 or len(vb) == 0:
+        return None
+    bows_a = jnp.stack([
+        voc.bow_vector(vocab, m_a.kf_desc[int(k)], m_a.kf_feat_valid[int(k)])
+        for k in va
+    ])
+    best = (-1.0, -1, -1)
+    for k_b in vb:
+        bow_b = voc.bow_vector(vocab, m_b.kf_desc[int(k_b)],
+                               m_b.kf_feat_valid[int(k_b)])
+        scores = np.asarray(voc.l1_scores(bows_a, bow_b))
+        i = int(np.argmax(scores))
+        if scores[i] > best[0]:
+            best = (float(scores[i]), int(va[i]), int(k_b))
+    return best
+
+
+def solve_inter_map_sim3(m_a, m_b, cam: CameraModel, kf_a: int, kf_b: int,
+                         fix_scale: bool = False, min_inliers: int = 20):
+    """Sim3 S mapping B-world -> A-world via the matched keyframe pair.
+    Returns (s, R, t) or None."""
+    obs_a = m_a.kf_obs[kf_a]
+    obs_b = m_b.kf_obs[kf_b]
+    has_a = (obs_a >= 0) & m_a.kf_feat_valid[kf_a] & m_a.mp_valid[jnp.clip(obs_a, 0)]
+    has_b = (obs_b >= 0) & m_b.kf_feat_valid[kf_b] & m_b.mp_valid[jnp.clip(obs_b, 0)]
+    cand = has_a[:, None] & has_b[None, :]
+    res = matching.match_masked(m_a.kf_desc[kf_a], m_b.kf_desc[kf_b], cand,
+                                max_dist=matching.TH_LOW, ratio=0.75,
+                                mutual=True)
+    if int(res.count) < min_inliers:
+        return None
+    idx_b = jnp.clip(res.idx, 0)
+    pa = m_a.mp_pos[jnp.clip(obs_a, 0)]
+    pb = m_b.mp_pos[jnp.clip(obs_b[idx_b], 0)]
+    # camera-frame coordinates in each keyframe
+    xa = pa @ m_a.kf_R[kf_a].T + m_a.kf_t[kf_a]
+    xb = pb @ m_b.kf_R[kf_b].T + m_b.kf_t[kf_b]
+    r = sim3_solver.sim3_ransac(
+        jax.random.PRNGKey(0), cam, xb, xa,
+        m_a.kf_xy[kf_a], m_a.kf_xy[kf_a],  # score in A's image both ways
+        128, fix_scale, valid=res.matched,
+    )
+    if not bool(r.success) or int(r.n_inliers) < min_inliers:
+        return None
+    # camera-frame Sim3 (B cam -> A cam) to world Sim3:
+    # S_wb->wa = T_a^-1 o S_cb->ca o T_b
+    s_c, R_c, t_c = r.s, r.R, r.t
+    Ta_inv = lie.sim3_inverse(jnp.ones(()), m_a.kf_R[kf_a], m_a.kf_t[kf_a])
+    S1 = lie.sim3_compose(*Ta_inv, s_c, R_c, t_c)
+    S = lie.sim3_compose(*S1, jnp.ones(()), m_b.kf_R[kf_b], m_b.kf_t[kf_b])
+    return S
+
+
+def merge_maps(m_a: ms.MapState, m_b: ms.MapState, cam: CameraModel,
+               vocab=None, fix_scale: bool = False) -> MergeResult:
+    """Merge session B into session A (B is Sim3-aligned into A's world).
+
+    Returns MergeResult; on failure the original A map is returned.
+    Capacity: A must have enough free keyframe/point slots for B's
+    content (asserted).
+    """
+    if vocab is None:
+        vocab = voc.make_vocabulary()
+    pair = find_cross_map_pair(m_a, m_b, vocab)
+    if pair is None or pair[0] <= 0:
+        return MergeResult(m_a, False, -1, -1, 1.0)
+    _, kf_a, kf_b = pair
+    S = solve_inter_map_sim3(m_a, m_b, cam, kf_a, kf_b, fix_scale)
+    if S is None:
+        return MergeResult(m_a, False, kf_a, kf_b, 1.0)
+    s, R, t = S
+
+    # transform B: points x' = s R x + t; poses T' = T_b o S^-1 with
+    # SE3 recovery [R, t/s]
+    Sinv = lie.sim3_inverse(s, R, t)
+    si, Ri, ti = Sinv
+    pos_b = lie.sim3_apply(s, R, t, m_b.mp_pos)
+
+    def conv_pose(Rb, tb):
+        # T_b o S^-1 as sim3, then SE3 = [R, t/s]
+        sc, Rc, tc = lie.sim3_compose(jnp.ones(()), Rb, tb, si, Ri, ti)
+        return Rc, tc / sc
+
+    Rb_new, tb_new = jax.vmap(conv_pose)(m_b.kf_R, m_b.kf_t)
+
+    # re-index into free slots of A
+    a = m_a
+    kf_free = np.nonzero(~np.asarray(a.kf_valid))[0]
+    mp_free = np.nonzero(~np.asarray(a.mp_valid))[0]
+    kf_used_b = np.nonzero(np.asarray(m_b.kf_valid))[0]
+    mp_used_b = np.nonzero(np.asarray(m_b.mp_valid))[0]
+    assert len(kf_free) >= len(kf_used_b), "A lacks keyframe capacity"
+    assert len(mp_free) >= len(mp_used_b), "A lacks map-point capacity"
+
+    kf_map = {int(b): int(kf_free[i]) for i, b in enumerate(kf_used_b)}
+    mp_map = np.full(m_b.P + 1, -1, np.int32)
+    for i, b in enumerate(mp_used_b):
+        mp_map[b] = mp_free[i]
+
+    arrays = a._asdict()
+    b_obs = np.asarray(m_b.kf_obs)
+    for b_slot, a_slot in kf_map.items():
+        obs_re = mp_map[np.where(b_obs[b_slot] >= 0, b_obs[b_slot], m_b.P)]
+        arrays_update = dict(
+            kf_R=np.asarray(Rb_new[b_slot]), kf_t=np.asarray(tb_new[b_slot]),
+            kf_valid=True,
+            kf_frame_id=int(np.asarray(m_b.kf_frame_id[b_slot])) + 100000,
+            kf_timestamp=float(np.asarray(m_b.kf_timestamp[b_slot])),
+            kf_xy=np.asarray(m_b.kf_xy[b_slot]),
+            kf_ur=np.asarray(m_b.kf_ur[b_slot]),
+            kf_depth=np.asarray(m_b.kf_depth[b_slot]),
+            kf_octave=np.asarray(m_b.kf_octave[b_slot]),
+            kf_angle=np.asarray(m_b.kf_angle[b_slot]),
+            kf_desc=np.asarray(m_b.kf_desc[b_slot]),
+            kf_feat_valid=np.asarray(m_b.kf_feat_valid[b_slot]),
+            kf_obs=obs_re,
+        )
+        for k, v in arrays_update.items():
+            arrays[k] = arrays[k].at[a_slot].set(v)
+
+    mp_sel = jnp.asarray(mp_used_b.astype(np.int32))
+    tgt = jnp.asarray(mp_map[mp_used_b].astype(np.int32))
+    arrays["mp_pos"] = arrays["mp_pos"].at[tgt].set(pos_b[mp_sel])
+    arrays["mp_valid"] = arrays["mp_valid"].at[tgt].set(True)
+    arrays["mp_desc"] = arrays["mp_desc"].at[tgt].set(m_b.mp_desc[mp_sel])
+    arrays["mp_first_kf"] = arrays["mp_first_kf"].at[tgt].set(
+        m_b.mp_first_kf[mp_sel]
+    )
+    arrays["n_kf"] = arrays["n_kf"] + m_b.n_kf
+
+    merged = ms.MapState(**arrays)
+    merged = ms.update_mappoint_stats(merged)
+    return MergeResult(merged, True, kf_a, kf_b, float(s))

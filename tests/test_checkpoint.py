@@ -54,3 +54,23 @@ def test_system_save_load_and_relocalize(tmp_path):
     c_est = -T[:3, :3].T @ T[:3, 3]
     c_gt = -poses[6][0].T @ poses[6][1]
     assert np.linalg.norm(c_est - c_gt) < 0.30, (c_est, c_gt)
+
+
+def test_localization_mode_freezes_map(tmp_path):
+    cam = CameraModel.create(fx=250., fy=250., cx=160., cy=120.,
+                             bf=250. * 0.08, width=320, height=240)
+    scene = synthetic.PlaneScene(seed=5)
+    poses = synthetic.orbit_trajectory(10, step=0.06)
+    cfg = SlamConfig(sensor="rgbd", n_features=512, n_levels=4, max_kf=32,
+                     max_mp=4096, max_frames_between_kf=4, th_depth=100.0)
+    slam = System(cam, cfg)
+    for k in range(8):
+        img, dep = scene.render(cam, *poses[k], h=240, w=320)
+        slam.track_rgbd(img, dep, k / 30.0)
+    n_kf = slam.n_keyframes
+    slam.activate_localization_mode()
+    for k in range(8, 10):
+        img, dep = scene.render(cam, *poses[k], h=240, w=320)
+        T = slam.track_rgbd(img, dep, k / 30.0)
+        assert T is not None
+    assert slam.n_keyframes == n_kf, "localization mode must not add KFs"
