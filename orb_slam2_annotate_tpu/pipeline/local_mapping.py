@@ -530,8 +530,20 @@ def local_bundle_adjustment(m: ms.MapState, cam: CameraModel, slot,
     return LocalBAOut(ms.update_mappoint_stats(m), jnp.sum(ev), cost)
 
 
+class CullInfo(NamedTuple):
+    """Reparenting data for frame-trajectory records whose reference
+    keyframe was culled (System.cc:366-371 walks the spanning tree at
+    save time; we rewrite records eagerly from this prefetched bundle)."""
+    slots: jnp.ndarray    # [max_cull] dropped slot ids
+    ok: jnp.ndarray       # [max_cull] bool
+    new_ref: jnp.ndarray  # [max_cull] surviving replacement slot
+    R_rel: jnp.ndarray    # [max_cull,3,3]  Trel = T_old * T_new^-1
+    t_rel: jnp.ndarray    # [max_cull,3]
+
+
 @partial(jax.jit, static_argnums=(2,))
-def cull_keyframes(m: ms.MapState, protect_slot, max_cull: int = 4) -> ms.MapState:
+def cull_keyframes(m: ms.MapState, protect_slot,
+                   max_cull: int = 4) -> tuple[ms.MapState, CullInfo]:
     """Redundant-keyframe culling (KeyFrameCulling, LocalMapping.cc:710):
     a local keyframe whose map points are >= 90% observed by at least 3
     OTHER keyframes at the same or finer scale is dropped.
@@ -580,5 +592,24 @@ def cull_keyframes(m: ms.MapState, protect_slot, max_cull: int = 4) -> ms.MapSta
     # clear dropped rows' observations
     row_clear = jnp.zeros((K,), bool).at[drop].max(drop_ok)
     kf_obs = jnp.where(row_clear[:, None], -1, m.kf_obs)
+
+    # reparent info: strongest surviving covisible of each dropped KF
+    # (falls back to the newest surviving keyframe)
+    W = ms.covisibility(m)
+    newest_valid = jnp.argmax(jnp.where(kf_valid, fid, -1))
+
+    def reparent(d):
+        w_row = jnp.where(kf_valid, W[d], -1)
+        ref = jnp.argmax(w_row)
+        ref = jnp.where(w_row[ref] > 0, ref, newest_valid).astype(jnp.int32)
+        R_old, t_old = m.kf_R[d], m.kf_t[d]
+        R_new, t_new = m.kf_R[ref], m.kf_t[ref]
+        R_rel = R_old @ R_new.T
+        t_rel = t_old - R_rel @ t_new
+        return ref, R_rel, t_rel
+
+    new_ref, R_rel, t_rel = jax.vmap(reparent)(drop)
+    info = CullInfo(drop.astype(jnp.int32), drop_ok, new_ref, R_rel, t_rel)
+
     m = m._replace(kf_valid=kf_valid, kf_obs=kf_obs)
-    return ms.update_mappoint_stats(m)
+    return ms.update_mappoint_stats(m), info

@@ -23,7 +23,8 @@ System calls `on_keyframe` after local mapping — detection costs one
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from functools import partial
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -38,6 +39,52 @@ from ..worldmap import map_state as ms
 from ..worldmap import vocabulary as voc
 
 MIN_COVIS_LOOP = 100  # essential-graph covisibility edge weight (Optimizer.cc:858)
+
+
+class LoopDetectOut(NamedTuple):
+    """Small prefetchable bundle from one fused detection dispatch."""
+    db_bows: jnp.ndarray     # [K, W] database with the new row added
+    cands: jnp.ndarray       # [8] candidate slots
+    ok: jnp.ndarray          # [8] bool
+    cand_covis: jnp.ndarray  # [8, K] covisibility rows of the candidates
+
+
+@partial(jax.jit, static_argnums=(4,))
+def detect_loop_device(vocab, db_bows, m: ms.MapState, slot,
+                       gap_kf: int = 10) -> LoopDetectOut:
+    """The device half of DetectLoop (LoopClosing.cc:117-230) in one
+    program: BoW transform of the new keyframe, min covisible-neighbor
+    score, candidate retrieval excluding the covisible group and the
+    `gap_kf` newest keyframes, plus the candidates' covisibility rows
+    (for the host's consistency-streak bookkeeping).  Also returns the
+    database with the new keyframe's row written (KeyFrameDatabase::add).
+    """
+    K = m.K
+    bow = voc.bow_vector(vocab, m.kf_desc[slot], m.kf_feat_valid[slot])
+    W = ms.covisibility(m)
+    covis_row = W[slot]
+    covis_mask = (covis_row > 0).at[slot].set(True)
+
+    # minScore = lowest BoW similarity among covisible neighbors
+    # (DetectLoop, LoopClosing.cc:130-144)
+    others = covis_mask & m.kf_valid & (jnp.arange(K) != slot)
+    scores = voc.l1_scores(db_bows, bow)
+    nb_scores = jnp.where(others, scores, jnp.inf)
+    min_score = jnp.min(nb_scores)
+    min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.0)
+
+    # exclude the covisible group and the newest gap_kf keyframes
+    fid = jnp.where(m.kf_valid, m.kf_frame_id, -1)
+    order = jnp.argsort(-fid)
+    recent = jnp.zeros((K,), bool).at[order[:gap_kf]].set(True)
+    exclude = covis_mask | recent
+
+    slots, ok = voc.detect_loop_candidates(
+        voc.KeyFrameDatabase(db_bows), bow, m.kf_valid, exclude, min_score
+    )
+    return LoopDetectOut(
+        db_bows.at[slot].set(bow), slots, ok, W[slots].astype(jnp.int32)
+    )
 
 
 @dataclasses.dataclass
@@ -67,51 +114,39 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
 
-    def on_keyframe(self, m: ms.MapState, slot: int):
-        """Run loop detection for the newly inserted keyframe `slot`.
-        Returns (possibly corrected) MapState and a bool 'loop closed'."""
+    def dispatch_detection(self, m: ms.MapState, slot) -> LoopDetectOut:
+        """Dispatch the fused detection program (slot may be a device
+        scalar) and update the database.  The returned bundle's small
+        arrays are prefetched so a later resolve_detection() does not
+        block on the device."""
+        out = detect_loop_device(self.vocab, self.db.bows, m, slot,
+                                 self.cfg.gap_kf)
+        self.db = voc.KeyFrameDatabase(out.db_bows)
+        for a in (out.cands, out.ok, out.cand_covis):
+            a.copy_to_host_async()
+        return out
+
+    def resolve_detection(self, m: ms.MapState, slot: int,
+                          det: LoopDetectOut):
+        """Host half: consistency streaks over consecutive keyframes
+        (DetectLoop's nCovisibilityConsistencyTh=3 groups), then — rarely
+        — the Sim3 + loop correction.  Returns (map, closed)."""
         cfg = self.cfg
-        bow = voc.bow_vector(self.vocab, m.kf_desc[slot], m.kf_feat_valid[slot])
-
-        W = ms.covisibility(m)
-        covis_row = np.asarray(W[slot])
-        kf_valid = np.asarray(m.kf_valid)
-        covis_mask = covis_row > 0
-        covis_mask[slot] = True
-
-        # minScore = lowest BoW similarity among covisible neighbors
-        # (DetectLoop, LoopClosing.cc:130-144)
-        nb = np.nonzero(covis_mask & kf_valid)[0]
-        if len(nb) > 1:
-            scores = np.asarray(voc.l1_scores(self.db.bows[jnp.asarray(nb)], bow))
-            others = nb != slot
-            min_score = float(scores[others].min()) if others.any() else 0.0
-        else:
-            min_score = 0.0
-
-        # age gap: candidates must be old (avoid matching immediate past)
-        fid = np.asarray(m.kf_frame_id)
-        recent = np.zeros_like(kf_valid)
-        order = np.argsort(-fid)  # newest first
-        recent[order[: cfg.gap_kf]] = True
-
-        exclude = jnp.asarray(covis_mask | recent)
-        slots, ok = voc.detect_loop_candidates(
-            self.db, bow, m.kf_valid, exclude, jnp.asarray(min_score)
-        )
-        self.db = self.db.add(slot, bow)
-
-        cands = [int(s) for s, o in zip(np.asarray(slots), np.asarray(ok)) if o]
+        cands_np = np.asarray(det.cands)
+        ok_np = np.asarray(det.ok)
+        covrows = np.asarray(det.cand_covis)  # [8, K]
+        cands = [(int(s), covrows[i]) for i, (s, o)
+                 in enumerate(zip(cands_np, ok_np)) if o]
 
         # --- covisibility-consistency streaks (simplified groups: a
         # candidate is consistent with a previous detection if it is the
         # same slot or covisible with one)
         new_streaks: dict[int, int] = {}
         confirmed = None
-        for c in cands:
+        for c, wrow in cands:
             streak = 1
             for prev, n in self._streaks.items():
-                if prev == c or (covis_row[c] > 0 and prev == c) or W[prev, c] > 0:
+                if prev == c or wrow[prev] > 0:
                     streak = max(streak, n + 1)
             new_streaks[c] = streak
             if streak >= cfg.consistency_th and confirmed is None:
@@ -130,6 +165,12 @@ class LoopCloser:
         self._streaks = {}
         self.n_loops_closed += 1
         return m, True
+
+    def on_keyframe(self, m: ms.MapState, slot: int):
+        """Synchronous detect + resolve for keyframe `slot`.
+        Returns (possibly corrected) MapState and a bool 'loop closed'."""
+        det = self.dispatch_detection(m, slot)
+        return self.resolve_detection(m, int(slot), det)
 
     # ------------------------------------------------------------------
 

@@ -102,6 +102,10 @@ class System:
         self.frame_id = -1
         self.records: list[FrameRecord] = []
         self._rng = np.random.RandomState(self.cfg.seed)
+        # host mirrors of tiny map facts, so the hot loop never blocks on a
+        # device->host read (the remote-TPU link costs ~50 ms per sync)
+        self._kf_valid_host = np.zeros(self.cfg.max_kf, bool)
+        self._pending_det = None     # (slot, LoopDetectOut) awaiting resolve
 
         # tracker state
         self.last_frame: Optional[Frame] = None
@@ -180,6 +184,7 @@ class System:
         self.state = "LOST"          # must relocalize into the loaded map
         self.vel = None
         self.ref_kf = int(extra.get("ref_kf", 0))
+        self._kf_valid_host = np.asarray(self.map.kf_valid).copy()
         if self.loop_closer is not None:
             # rebuild the BoW database from keyframe descriptors
             lc = self.loop_closer
@@ -209,68 +214,74 @@ class System:
             self._record()
             return self._pose44()
 
-        # ---- track
-        n_inl = 0
-        n_mm = -1
-        obs = None
-        if self.vel is not None:
-            R_pred, t_pred = lie.se3_compose(
-                jnp.asarray(self.vel[0]), jnp.asarray(self.vel[1]), self.R, self.t
-            )
-            R, t, obs, n = tk.track_with_motion_model(
+        # ---- track: ONE fused device dispatch for the whole state machine
+        has_vel = self.vel is not None
+        vel_R, vel_t = self.vel if has_vel else (jnp.eye(3), jnp.zeros(3))
+        if self.last_frame is None or self.last_obs is None:
+            # e.g. first frame after load_map: no previous frame exists;
+            # the motion-model branch is disabled but still traced
+            self.last_frame = frame
+            self.last_obs = jnp.full((frame.xy.shape[0],), -1, jnp.int32)
+            has_vel = False
+        with self.telemetry.stage("tracking/step"):
+            step = tk.track_frame(
                 self.cam, self.map, frame, self.last_frame, self.last_obs,
-                R_pred, t_pred,
+                self.R, self.t, vel_R, vel_t,
+                jnp.asarray(has_vel), jnp.asarray(self.ref_kf, jnp.int32),
             )
-            n_inl = n_mm = int(n)
-        if self.vel is None or n_inl < 20:
-            R, t, obs, n = tk.track_reference_keyframe(
-                self.cam, self.map, frame, self.ref_kf, self.R, self.t
-            )
-            n_inl = int(n)
+            step.stats.copy_to_host_async()
+            step.poses.copy_to_host_async()
+            stats = np.asarray(step.stats)
+            poses = np.asarray(step.poses)
+        n_pre, n_local = int(stats[0]), int(stats[1])
         if self.cfg.verbose:
-            print(f"  [track] f{self.frame_id}: motion={n_mm} final={n_inl}")
-        if n_inl < self.cfg.min_inliers_track:
-            if self._try_relocalize(frame):
-                R, t, obs = self.R, self.t, self.last_obs
-                n_inl = self.cfg.min_inliers_track + 1
-            else:
+            print(f"  [track] f{self.frame_id}: pre={n_pre} local={n_local} "
+                  f"local_kf={int(stats[2])} ref_tracked={self.ref_tracked}")
+
+        if n_pre < self.cfg.min_inliers_track or n_local < self.cfg.min_inliers_local:
+            if not (n_pre < self.cfg.min_inliers_track and self._try_relocalize(frame)):
+                self.state = "LOST"
+                self.vel = None
+                self._record(lost=True)
+                return None
+            # relocalized: re-run the fused step from the recovered pose
+            step = tk.track_frame(
+                self.cam, self.map, frame, self.last_frame, self.last_obs,
+                self.R, self.t, jnp.eye(3), jnp.zeros(3),
+                jnp.asarray(False), jnp.asarray(self.ref_kf, jnp.int32),
+            )
+            stats = np.asarray(step.stats)
+            poses = np.asarray(step.poses)
+            n_local = int(stats[1])
+            if n_local < self.cfg.min_inliers_local:
                 self.state = "LOST"
                 self.vel = None
                 self._record(lost=True)
                 return None
 
-        # ---- track local map
-        with self.telemetry.stage("tracking/local_map"):
-            res = tk.track_local_map(self.cam, self.map, frame, R, t, obs)
-        n_local = int(res.n_inliers)
-        if self.cfg.verbose:
-            print(f"  [local] f{self.frame_id}: inliers={n_local} "
-                  f"local_kf={int(res.n_local_kf)} ref_tracked={self.ref_tracked}")
-        if n_local < self.cfg.min_inliers_local:
-            self.state = "LOST"
-            self.vel = None
-            self._record(lost=True)
-            return None
         self.map = self.map._replace(
-            mp_visible=res.mp_visible, mp_found=res.mp_found
+            mp_visible=step.mp_visible, mp_found=step.mp_found
         )
         self._last_n_local = n_local
         self._peak_n_local = max(getattr(self, "_peak_n_local", 0), n_local)
         self.state = "OK"  # recovered (reference re-enters OK after reloc)
 
-        # ---- motion model velocity = Tcw_cur * Tcw_last^-1
-        Ri, ti = lie.se3_inverse(self.R, self.t)
-        self.vel = lie.se3_compose(res.R, res.t, Ri, ti)
-        self.R, self.t = res.R, res.t
+        # host copies come from the prefetched bundle — no device reads
+        R_np, t_np = tk.unpack_pose(poses[0])
+        self.vel = (jnp.asarray(poses[1][:9].reshape(3, 3)),
+                    jnp.asarray(poses[1][9:12]))
+        self.R, self.t = step.R, step.t
+        self._pose_np = (R_np, t_np)
+        self._rel_np = tk.unpack_pose(poses[2])
         self.last_frame = frame
-        self.last_obs = res.obs
+        self.last_obs = step.obs
 
         # ---- keyframe policy
         if getattr(self, "_localization_only", False):
             self._record()
             return self._pose44()
         if self._need_keyframe(n_local):
-            self._create_keyframe(frame, timestamp, res.obs, has_depth)
+            self._create_keyframe(frame, timestamp, step.obs, has_depth)
         self._record()
         return self._pose44()
 
@@ -290,10 +301,13 @@ class System:
     def _create_keyframe(self, frame, timestamp, obs, has_depth):
         self._tele_kf = self.telemetry.stage("mapping/keyframe")
         self._tele_kf.__enter__()
-        self.map, slot = lm.insert_keyframe_from_frame(
+        # the slot argmin is mirrored on host so the whole mapping chain
+        # below dispatches with zero device->host reads
+        slot = int(np.argmin(self._kf_valid_host))
+        self.map, _ = lm.insert_keyframe_from_frame(
             self.map, frame, self.R, self.t, obs, self.frame_id, timestamp
         )
-        slot = int(slot)
+        self._kf_valid_host[slot] = True
         if has_depth:
             baseline = float(self.cam.bf) / float(self.cam.fx)
             self.map = lm.create_depth_mappoints(
@@ -310,24 +324,24 @@ class System:
                 print(f"  [ba] kf_slot={slot} edges={int(out.n_edges)} "
                       f"cost={float(out.cost):.1f}")
             self.map = out.map
+        cull_info = None
         if self.cfg.enable_kf_culling and self.n_keyframes > 8:
-            before = np.asarray(self.map.kf_valid)
-            kf_R_old = np.asarray(self.map.kf_R)
-            kf_t_old = np.asarray(self.map.kf_t)
-            self.map = lm.cull_keyframes(self.map, jnp.asarray(slot))
-            after = np.asarray(self.map.kf_valid)
-            culled = np.nonzero(before & ~after)[0]
-            if len(culled):
-                self._reparent_records(culled, kf_R_old, kf_t_old)
-        if self.loop_closer is not None and self.cfg.enable_loop_closing:
-            self.map, closed = self.loop_closer.on_keyframe(self.map, slot)
-            if closed and self.cfg.verbose:
-                print(f"  [loop] closed at kf slot {slot}")
-        elif self.loop_closer is not None:
-            # keep the BoW database current for relocalization
-            bow = voc.bow_vector(self.loop_closer.vocab, self.map.kf_desc[slot],
-                                 self.map.kf_feat_valid[slot])
-            self.loop_closer.db = self.loop_closer.db.add(slot, bow)
+            self.map, cull_info = lm.cull_keyframes(self.map, jnp.asarray(slot))
+            for a in (cull_info.slots, cull_info.ok, cull_info.new_ref,
+                      cull_info.R_rel, cull_info.t_rel):
+                a.copy_to_host_async()
+        if self.loop_closer is not None:
+            # dispatch loop detection (also writes the BoW row the
+            # relocalizer needs); resolve immediately — the bundle is
+            # small and prefetched
+            det = self.loop_closer.dispatch_detection(self.map, slot)
+            if self.cfg.enable_loop_closing:
+                self.map, closed = self.loop_closer.resolve_detection(
+                    self.map, slot, det)
+                if closed and self.cfg.verbose:
+                    print(f"  [loop] closed at kf slot {slot}")
+        if cull_info is not None:
+            self._apply_cull_info(cull_info)
         # adopt possibly-updated pose of the new keyframe
         self.R = self.map.kf_R[slot]
         self.t = self.map.kf_t[slot]
@@ -336,10 +350,23 @@ class System:
         # (stale map-point ids would starve the next motion-model search)
         self.last_obs = self.map.kf_obs[slot]
         self.ref_kf = slot
+        self._rel_np = None          # this frame IS the reference keyframe
         self.last_kf_frame = self.frame_id
         self.ref_tracked = self._last_n_local
         self._peak_n_local = 0  # restart the decay baseline
         self._tele_kf.__exit__(None, None, None)
+
+    def _apply_cull_info(self, info):
+        """Fold a prefetched CullInfo bundle into the host mirrors and
+        re-reference affected frame records."""
+        ok = np.asarray(info.ok)
+        if not ok.any():
+            return
+        slots = np.asarray(info.slots)[ok]
+        self._kf_valid_host[slots] = False
+        self._reparent_records(slots, np.asarray(info.new_ref)[ok],
+                               np.asarray(info.R_rel)[ok],
+                               np.asarray(info.t_rel)[ok])
 
     # ---- mono initialization (MonocularInitialization, Tracking.cc:603) --
 
@@ -423,6 +450,9 @@ class System:
         self.last_obs = jnp.asarray(obs1)
         self.vel = None
         self.ref_kf = 1
+        self._kf_valid_host[:2] = True
+        self._pose_np = None
+        self._rel_np = None
         self.last_kf_frame = self.frame_id
         self.ref_tracked = len(gidx)
         self._init_frame = None
@@ -450,34 +480,25 @@ class System:
         self.last_obs = self.map.kf_obs[slot]
         self.vel = None
         self.ref_kf = slot
+        self._kf_valid_host[slot] = True
+        self._pose_np = None
+        self._rel_np = None
         self.last_kf_frame = self.frame_id
         self.ref_tracked = int(jnp.sum(self.map.kf_obs[slot] >= 0))
         return True
 
-    def _reparent_records(self, culled, kf_R_old, kf_t_old):
+    def _reparent_records(self, culled, new_refs, R_rels, t_rels):
         """Re-express FrameRecords whose reference keyframe was culled
         relative to a surviving keyframe (the reference walks the spanning
         tree at save time instead, System.cc:366-371; we rewrite eagerly
-        while the culled pose is still known)."""
-        culled = set(int(c) for c in culled)
-        valid = np.asarray(self.map.kf_valid)
-        W = np.asarray(ms.covisibility(self.map))
+        using the relative transforms the cull kernel computed while the
+        culled pose was still known)."""
+        by_slot = {int(c): (int(nr), R_rels[i], t_rels[i])
+                   for i, (c, nr) in enumerate(zip(culled, new_refs))}
         for rec in self.records:
-            if rec.lost or rec.ref_kf_slot not in culled:
+            if rec.lost or rec.ref_kf_slot not in by_slot:
                 continue
-            old = rec.ref_kf_slot
-            # strongest surviving covisible of the culled KF; fall back to
-            # the newest valid KF
-            w_row = np.where(valid, W[old], -1)
-            new_ref = int(np.argmax(w_row))
-            if w_row[new_ref] <= 0:
-                new_ref = int(np.nonzero(valid)[0][-1])
-            # Tcr' = Tcr_old * T_old * T_new^-1
-            R_old, t_old = kf_R_old[old], kf_t_old[old]
-            R_new = np.asarray(self.map.kf_R[new_ref])
-            t_new = np.asarray(self.map.kf_t[new_ref])
-            R_rel = R_old @ R_new.T
-            t_rel = t_old - R_rel @ t_new
+            new_ref, R_rel, t_rel = by_slot[rec.ref_kf_slot]
             # Tcr' = Tcr * Trel   (Trel = T_old * T_new^-1)
             rec.t_cr = rec.R_cr @ t_rel + rec.t_cr
             rec.R_cr = rec.R_cr @ R_rel
@@ -548,8 +569,11 @@ class System:
 
     def _pose44(self) -> np.ndarray:
         T = np.eye(4, dtype=np.float32)
-        T[:3, :3] = np.asarray(self.R)
-        T[:3, 3] = np.asarray(self.t)
+        if getattr(self, "_pose_np", None) is not None:
+            T[:3, :3], T[:3, 3] = self._pose_np
+        else:
+            T[:3, :3] = np.asarray(self.R)
+            T[:3, 3] = np.asarray(self.t)
         return T
 
     def _record(self, lost: bool = False):
@@ -561,14 +585,18 @@ class System:
                             np.zeros(3, np.float32), True)
             )
             return
-        # Tcr = Tcw * Twr   (relative to reference keyframe)
-        Rr = self.map.kf_R[self.ref_kf]
-        tr = self.map.kf_t[self.ref_kf]
-        Rri, tri = lie.se3_inverse(Rr, tr)
-        Rcr, tcr = lie.se3_compose(self.R, self.t, Rri, tri)
+        # Tcr = Tcw * Twr, computed on device inside the fused tracking
+        # step (or identity right after this frame became the reference
+        # keyframe / the map was initialized from it)
+        if getattr(self, "_rel_np", None) is not None:
+            Rcr, tcr = self._rel_np
+        else:
+            Rcr = np.eye(3, dtype=np.float32)
+            tcr = np.zeros(3, np.float32)
         self.records.append(
             FrameRecord(self.frame_id, ts, self.ref_kf,
-                        np.asarray(Rcr), np.asarray(tcr), False)
+                        np.asarray(Rcr, np.float32).copy(),
+                        np.asarray(tcr, np.float32).copy(), False)
         )
 
     def frame_trajectory(self):
@@ -611,7 +639,7 @@ class System:
 
     @property
     def n_keyframes(self) -> int:
-        return int(jnp.sum(self.map.kf_valid))
+        return int(self._kf_valid_host.sum())
 
     @property
     def n_mappoints(self) -> int:

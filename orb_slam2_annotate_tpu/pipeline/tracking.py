@@ -198,3 +198,87 @@ def track_local_map(cam: CameraModel, m: MapState, frame: Frame, R, t, obs,
     found_mask = (obs >= 0) & inlier
     mp_found = m.mp_found.at[ids].add(found_mask.astype(jnp.int32))
     return LocalMapTrack(R2, t2, obs, n, n_local_kf, mp_visible, mp_found)
+
+
+class TrackStep(NamedTuple):
+    """Everything the host needs from one frame, in one dispatch.
+
+    `stats` packs the small integers ([n_pre, n_local, n_local_kf]) and
+    `poses` the small floats (R, t, vel, Tcr) so the host prefetches two
+    tiny arrays instead of nine — critical when the device link has
+    tens-of-ms round-trip latency (remote TPU)."""
+    R: jnp.ndarray
+    t: jnp.ndarray
+    obs: jnp.ndarray
+    mp_visible: jnp.ndarray
+    mp_found: jnp.ndarray
+    stats: jnp.ndarray   # [3] i32: n_pre, n_local, n_local_kf
+    poses: jnp.ndarray   # [4,12] f32 rows: Tcw, T_vel, Tcr, (Rpred|unused)
+
+
+def _pack_pose(R, t):
+    return jnp.concatenate([R.reshape(9), t.reshape(3)])
+
+
+def unpack_pose(row):
+    """Host-side: row [12] -> (R [3,3], t [3])."""
+    return row[:9].reshape(3, 3), row[9:12]
+
+
+@jax.jit
+def track_frame(cam: CameraModel, m: MapState, frame: Frame,
+                last_frame: Frame, last_obs: jnp.ndarray,
+                R_last, t_last, vel_R, vel_t, has_vel, ref_kf) -> TrackStep:
+    """The full per-frame tracking state machine as ONE device program
+    (Track(), Tracking.cc:275-546, minus host-side keyframe policy):
+
+      motion-model track (if a velocity exists)
+        -> reference-keyframe track when it fails (< 20 inliers)
+        -> local-map track + final pose optimization
+        -> motion-model velocity + pose relative to the reference KF
+
+    The reference interleaves these stages with shared-pointer checks;
+    here the fallback is a lax.cond so the host never has to read back an
+    intermediate inlier count mid-frame.
+    """
+    N = frame.xy.shape[0]
+
+    def with_motion(_):
+        R_pred, t_pred = lie.se3_compose(vel_R, vel_t, R_last, t_last)
+        return track_with_motion_model(
+            cam, m, frame, last_frame, last_obs, R_pred, t_pred)
+
+    def without(_):
+        return (R_last, t_last, jnp.full((N,), -1, jnp.int32),
+                jnp.asarray(-1, jnp.int32))
+
+    R1, t1, obs1, n1 = jax.lax.cond(has_vel, with_motion, without, None)
+
+    def ref_track(_):
+        return track_reference_keyframe(cam, m, frame, ref_kf, R_last, t_last)
+
+    def keep(_):
+        return R1, t1, obs1, n1
+
+    R2, t2, obs2, n2 = jax.lax.cond(n1 < 20, ref_track, keep, None)
+
+    res = track_local_map(cam, m, frame, R2, t2, obs2)
+
+    # velocity = Tcw_cur * Tcw_last^-1 (Tracking.cc:446-454)
+    Ri, ti = lie.se3_inverse(R_last, t_last)
+    vR, vt = lie.se3_compose(res.R, res.t, Ri, ti)
+    # pose relative to reference keyframe: Tcr = Tcw * Twr (Tracking.cc:514)
+    Rr, tr = m.kf_R[ref_kf], m.kf_t[ref_kf]
+    Rri, tri = lie.se3_inverse(Rr, tr)
+    Rcr, tcr = lie.se3_compose(res.R, res.t, Rri, tri)
+
+    stats = jnp.stack([n2.astype(jnp.int32), res.n_inliers.astype(jnp.int32),
+                       res.n_local_kf.astype(jnp.int32)])
+    poses = jnp.stack([
+        _pack_pose(res.R, res.t),
+        _pack_pose(vR, vt),
+        _pack_pose(Rcr, tcr),
+        jnp.zeros((12,)),
+    ])
+    return TrackStep(res.R, res.t, res.obs, res.mp_visible, res.mp_found,
+                     stats, poses)
