@@ -1,9 +1,12 @@
 """Driver for EuRoC MAV stereo sequences (stereo_euroc.cc analog).
 
 Usage: python examples/run_euroc_stereo.py <settings.yaml> <mav0_dir> <timestamps.txt>
-Note: EuRoC needs stereo rectification (the reference applies LEFT./RIGHT.
-K/D/R/P maps in the driver, stereo_euroc.cc:62-90); provide pre-rectified
-images or a settings file with rectified intrinsics.
+
+When the settings file carries LEFT./RIGHT. K/D/R/P blocks (the format of
+the reference's Examples/Stereo/EuRoC.yaml), both images are rectified on
+device before tracking — the analog of the cv::initUndistortRectifyMap +
+cv::remap pass in stereo_euroc.cc:62-90, but as one fused bilinear-gather
+program per pair.
 """
 
 import os
@@ -23,12 +26,17 @@ def main():
     st = config.load_settings(settings_path, sensor="stereo",
                               width=752, height=480)
     slam = System(st.cam, st.slam)
+    rectifier = config.load_stereo_rectification(settings_path)
+    if rectifier is not None:
+        print("rectifying with LEFT./RIGHT. K/D/R/P maps from settings")
     samples = datasets.read_euroc_stereo(seq, ts_file)
     times = []
     for i, s in enumerate(samples):
         il = datasets.load_image_gray(s.left_path)
         ir = datasets.load_image_gray(s.right_path)
         t0 = time.time()
+        if rectifier is not None:
+            il, ir = rectifier(il, ir)
         slam.track_stereo(il, ir, s.timestamp)
         times.append(time.time() - t0)
         if i % 100 == 0:

@@ -30,7 +30,7 @@ def main(n_frames: int = 40):
     cfg = SlamConfig(n_features=512, n_levels=4, max_kf=64, max_mp=8192,
                      max_frames_between_kf=8, init_min_matches=60,
                      verbose='--verbose' in sys.argv,
-                     enable_fuse='--no-fuse' not in sys.argv,
+                     enable_fuse='--fuse' in sys.argv,
                      enable_cull='--no-cull' not in sys.argv,
                      enable_local_ba='--no-ba' not in sys.argv)
     slam = System(cam, cfg)

@@ -82,7 +82,13 @@ def _extract_level(img, budget, cfg: ExtractorConfig, level: int):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def extract(image: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Features:
-    """image: [H, W] f32 grayscale in [0, 255].  Returns Features."""
+    """image: [H, W] grayscale in [0, 255] (u8 or f32).  Returns Features.
+
+    Accepting uint8 lets callers ship 1 byte/pixel over the host-device
+    link (4x less than f32 — the link is the bottleneck on remote TPUs);
+    the cast to f32 happens on device.
+    """
+    image = image.astype(jnp.float32)
     levels = pyramid.build_pyramid(image, cfg.n_levels, cfg.scale)
     budgets = pyramid.features_per_level(cfg.n_features, cfg.n_levels, cfg.scale)
     scales = [cfg.scale**l for l in range(cfg.n_levels)]

@@ -119,6 +119,34 @@ def ic_angles(image: jnp.ndarray, kps: jnp.ndarray, valid: jnp.ndarray):
     return jnp.where(valid & strong, jnp.arctan2(m01, m10), 0.0)
 
 
+N_ANGLE_BINS = 32  # steering-angle quantization (OpenCV ORB uses 30 x 12deg)
+
+
+def _rotated_offset_table() -> np.ndarray:
+    """Precomputed nearest-pixel rotated pattern offsets, [B, 512, 2] (dy, dx).
+
+    The reference steers the pattern with the exact angle but rounds each
+    sample to the nearest pixel (computeOrbDescriptor, ORBextractor.cc:111
+    GET_VALUE cvRound); OpenCV ORB additionally quantizes the angle itself
+    to 12-degree bins.  Quantizing to B=32 bins lets the whole steering be
+    a static table so descriptor sampling is ONE gather instead of eight.
+    """
+    pat = _load_pattern().astype(np.float64)  # [256, 4] (py, px, qy, qx)
+    pts = np.concatenate([pat[:, 0:2], pat[:, 2:4]], axis=0)  # [512] (y, x)
+    out = np.zeros((N_ANGLE_BINS, 512, 2), np.int32)
+    for b in range(N_ANGLE_BINS):
+        a = 2.0 * np.pi * b / N_ANGLE_BINS
+        ca, sa = np.cos(a), np.sin(a)
+        ry = sa * pts[:, 1] + ca * pts[:, 0]
+        rx = ca * pts[:, 1] - sa * pts[:, 0]
+        out[b, :, 0] = np.round(ry)
+        out[b, :, 1] = np.round(rx)
+    return out
+
+
+ROT_OFFSETS = jnp.asarray(_rotated_offset_table())  # [B, 512, 2]
+
+
 def brief_descriptors(blurred: jnp.ndarray, kps: jnp.ndarray, angles: jnp.ndarray,
                       valid: jnp.ndarray) -> jnp.ndarray:
     """Rotated-BRIEF descriptors, bit-packed.
@@ -128,49 +156,18 @@ def brief_descriptors(blurred: jnp.ndarray, kps: jnp.ndarray, angles: jnp.ndarra
     Returns [N, 8] uint32 (256 bits).
     """
     h, w = blurred.shape
-    ca, sa = jnp.cos(angles), jnp.sin(angles)  # [N]
+    two_pi = 2.0 * jnp.pi
+    bin_ = jnp.round(
+        (angles % two_pi) / (two_pi / N_ANGLE_BINS)
+    ).astype(jnp.int32) % N_ANGLE_BINS
+    off = ROT_OFFSETS[bin_]                          # [N, 512, 2]
 
-    py = PATTERN[:, 0].astype(jnp.float32)  # [256]
-    px = PATTERN[:, 1].astype(jnp.float32)
-    qy = PATTERN[:, 2].astype(jnp.float32)
-    qx = PATTERN[:, 3].astype(jnp.float32)
-
-    def rot(yy, xx):
-        # rotate pattern offsets by keypoint angle: [N, 256] each
-        rx = ca[:, None] * xx[None, :] - sa[:, None] * yy[None, :]
-        ry = sa[:, None] * xx[None, :] + ca[:, None] * yy[None, :]
-        return ry, rx
-
-    pry, prx = rot(py, px)
-    qry, qrx = rot(qy, qx)
-
-    xk = kps[:, 0:1]
-    yk = kps[:, 1:2]
-
-    # bilinear sampling (the reference rounds to nearest, ORBextractor
-    # computeOrbDescriptor:111; bilinear is markedly more stable under
-    # sub-pixel keypoint motion and costs only 4 gathers per sample)
-    def sample(yy, xx):
-        y = jnp.clip(yk + yy, 0.0, h - 1.001)
-        x = jnp.clip(xk + xx, 0.0, w - 1.001)
-        y0 = jnp.floor(y).astype(jnp.int32)
-        x0 = jnp.floor(x).astype(jnp.int32)
-        fy = y - y0
-        fx = x - x0
-        v00 = blurred[y0, x0]
-        v01 = blurred[y0, x0 + 1]
-        v10 = blurred[y0 + 1, x0]
-        v11 = blurred[y0 + 1, x0 + 1]
-        return (
-            v00 * (1 - fy) * (1 - fx)
-            + v01 * (1 - fy) * fx
-            + v10 * fy * (1 - fx)
-            + v11 * fy * fx
-        )
-
-    ip = sample(pry, prx)  # [N, 256]
-    iq = sample(qry, qrx)
-    bits = (ip < iq).astype(jnp.uint32)  # [N, 256]
+    yk = jnp.round(kps[:, 1]).astype(jnp.int32)[:, None]
+    xk = jnp.round(kps[:, 0]).astype(jnp.int32)[:, None]
+    yy = jnp.clip(yk + off[..., 0], 0, h - 1)
+    xx = jnp.clip(xk + off[..., 1], 0, w - 1)
+    vals = jnp.take(blurred.reshape(-1), yy * w + xx)  # [N, 512], one gather
+    bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.uint32)
 
     # pack into 8 uint32 words, little-endian bit order within each word
     words = bits.reshape(bits.shape[0], 8, 32)

@@ -126,6 +126,8 @@ def make_frame_stereo(image_l, image_r, cam: CameraModel,
     parabola over descriptor distances of neighbouring candidates
     (cheaper, validated by ATE).  Reference: Frame.cc:512-686.
     """
+    image_l = image_l.astype(jnp.float32)  # u8 uploads: cast on device
+    image_r = image_r.astype(jnp.float32)
     fl = extract(image_l, cfg)
     fr = extract(image_r, cfg)
     xy_und = undistort_pixels(cam, fl.xy)  # rectified: dist coeffs ~ 0

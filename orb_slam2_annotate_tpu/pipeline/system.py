@@ -71,6 +71,13 @@ class SlamConfig:
     enable_loop_closing: bool = True
     enable_relocalization: bool = True
     enable_kf_culling: bool = True
+    # pipelined dispatch: keep up to this many frames in flight before
+    # resolving their (prefetched) stats, so the host never blocks on the
+    # device link inside the hot loop.  Keyframe/LOST decisions then lag
+    # by up to async_depth frames — the functional analog of the
+    # reference's tracking-vs-LocalMapping thread decoupling
+    # (System.cc:91, LocalMapping queue).  0 = fully synchronous.
+    async_depth: int = 0
 
     @property
     def extractor(self) -> ExtractorConfig:
@@ -106,6 +113,8 @@ class System:
         # device->host read (the remote-TPU link costs ~50 ms per sync)
         self._kf_valid_host = np.zeros(self.cfg.max_kf, bool)
         self._pending_det = None     # (slot, LoopDetectOut) awaiting resolve
+        self._pending_cull = None    # CullInfo awaiting (prefetched) resolve
+        self._inflight: list[dict] = []   # pipelined frames awaiting stats
 
         # tracker state
         self.last_frame: Optional[Frame] = None
@@ -132,23 +141,31 @@ class System:
     # public API (System.h:62-123 equivalents)
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _upload(image) -> jnp.ndarray:
+        """Ship uint8 images as uint8 (4x less host->device traffic; the
+        f32 cast happens on device inside the extraction program)."""
+        img = np.asarray(image)
+        if img.dtype != np.uint8:
+            img = img.astype(np.float32)
+        return jnp.asarray(img)
+
     def track_mono(self, image: np.ndarray, timestamp: float):
         """image: [H,W] grayscale float32/uint8.  Returns 4x4 Tcw or None."""
         with self.telemetry.stage("frontend/extract"):
-            img = jnp.asarray(np.asarray(image, np.float32))
-            frame = make_frame_mono(img, self.cam, self.cfg.extractor)
+            frame = make_frame_mono(self._upload(image), self.cam,
+                                    self.cfg.extractor)
         return self._track(frame, timestamp)
 
     def track_rgbd(self, image, depth, timestamp: float):
-        img = jnp.asarray(np.asarray(image, np.float32))
         dep = jnp.asarray(np.asarray(depth, np.float32))
-        frame = make_frame_rgbd(img, dep, self.cam, self.cfg.extractor)
+        frame = make_frame_rgbd(self._upload(image), dep, self.cam,
+                                self.cfg.extractor)
         return self._track(frame, timestamp, has_depth=True)
 
     def track_stereo(self, image_l, image_r, timestamp: float):
-        il = jnp.asarray(np.asarray(image_l, np.float32))
-        ir = jnp.asarray(np.asarray(image_r, np.float32))
-        frame = make_frame_stereo(il, ir, self.cam, self.cfg.extractor)
+        frame = make_frame_stereo(self._upload(image_l), self._upload(image_r),
+                                  self.cam, self.cfg.extractor)
         return self._track(frame, timestamp, has_depth=True)
 
     def activate_localization_mode(self):
@@ -169,6 +186,7 @@ class System:
 
     def save_map(self, path: str):
         """Persist the map (reference System.h:115 SaveMap TODO)."""
+        self.flush()
         from ..io import checkpoint
 
         checkpoint.save_map(path, self.map, extra={
@@ -223,6 +241,9 @@ class System:
             self.last_frame = frame
             self.last_obs = jnp.full((frame.xy.shape[0],), -1, jnp.int32)
             has_vel = False
+        if self.cfg.async_depth > 0:
+            return self._track_async(frame, timestamp, has_depth,
+                                     has_vel, vel_R, vel_t)
         with self.telemetry.stage("tracking/step"):
             step = tk.track_frame(
                 self.cam, self.map, frame, self.last_frame, self.last_obs,
@@ -285,8 +306,169 @@ class System:
         self._record()
         return self._pose44()
 
-    def _need_keyframe(self, n_tracked: int) -> bool:
-        since = self.frame_id - self.last_kf_frame
+    # ---- pipelined tracking (async_depth > 0) --------------------------
+
+    def _track_async(self, frame: Frame, timestamp: float, has_depth: bool,
+                     has_vel: bool, vel_R, vel_t):
+        """Dispatch this frame's fused tracking step and resolve the
+        oldest in-flight frame's (already prefetched) stats.  The host
+        never blocks on the device inside this method in steady state;
+        keyframe/LOST policy lags by async_depth frames, mirroring the
+        reference's tracking-vs-mapping thread decoupling."""
+        if self.state == "LOST":
+            self.last_frame = frame
+            self.last_obs = jnp.full((frame.xy.shape[0],), -1, jnp.int32)
+            if not self._try_relocalize(frame):
+                self._record(lost=True)
+                return None
+            # recovered: record this frame relative to the reloc keyframe
+            Rr = np.asarray(self.map.kf_R[self.ref_kf])
+            tr = np.asarray(self.map.kf_t[self.ref_kf])
+            R_np, t_np = np.asarray(self.R), np.asarray(self.t)
+            Rcr = R_np @ Rr.T
+            self._rel_np = (Rcr, t_np - Rcr @ tr)
+            self._pose_np = (R_np, t_np)
+            self._record()
+            return self._pose44()
+
+        step = tk.track_frame(
+            self.cam, self.map, frame, self.last_frame, self.last_obs,
+            self.R, self.t, vel_R, vel_t,
+            jnp.asarray(has_vel), jnp.asarray(self.ref_kf, jnp.int32),
+        )
+        step.stats.copy_to_host_async()
+        step.poses.copy_to_host_async()
+        # fold found/visible counters so the next dispatch sees them, and
+        # advance the device-side tracker state — zero host reads
+        self.map = self.map._replace(mp_visible=step.mp_visible,
+                                     mp_found=step.mp_found)
+        self.R, self.t = step.R, step.t
+        self.vel = (step.poses[1, :9].reshape(3, 3), step.poses[1, 9:12])
+        self.last_frame = frame
+        self.last_obs = step.obs
+        self._inflight.append(dict(
+            frame_id=self.frame_id, ts=timestamp, ref_kf=self.ref_kf,
+            frame=frame, step=step, has_depth=has_depth,
+        ))
+        while len(self._inflight) > self.cfg.async_depth:
+            if not self._resolve_oldest():
+                break
+        # the definitive pose is still in flight; hand back the device
+        # array (np.asarray by the caller would sync — their choice)
+        return (jnp.eye(4).at[:3, :3].set(step.R).at[:3, 3].set(step.t))
+
+    def _lost_record(self, e: dict):
+        self.records.append(FrameRecord(
+            e["frame_id"], e["ts"], e["ref_kf"],
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32), True))
+
+    def _resolve_oldest(self) -> bool:
+        """Resolve the oldest in-flight frame.  Returns False if tracking
+        was lost (pipeline drained)."""
+        e = self._inflight.pop(0)
+        stats = np.asarray(e["step"].stats)
+        n_pre, n_local = int(stats[0]), int(stats[1])
+        if self.cfg.verbose:
+            print(f"  [track] f{e['frame_id']}: pre={n_pre} local={n_local} "
+                  f"(lag {self.frame_id - e['frame_id']})")
+        if n_pre < self.cfg.min_inliers_track or \
+                n_local < self.cfg.min_inliers_local:
+            # every later in-flight frame chained off this bad pose
+            self._lost_record(e)
+            for e2 in self._inflight:
+                self._lost_record(e2)
+            self._inflight.clear()
+            self.state = "LOST"
+            self.vel = None
+            if self._try_relocalize(self.last_frame):
+                self.state = "OK"
+            return False
+
+        poses = np.asarray(e["step"].poses)
+        self._last_n_local = n_local
+        self._peak_n_local = max(getattr(self, "_peak_n_local", 0), n_local)
+        Rcr, tcr = tk.unpack_pose(poses[2])
+        rec = FrameRecord(e["frame_id"], e["ts"], e["ref_kf"],
+                          np.asarray(Rcr, np.float32).copy(),
+                          np.asarray(tcr, np.float32).copy(), False)
+        if not getattr(self, "_localization_only", False) and \
+                self._need_keyframe(n_local, e["frame_id"]):
+            slot = self._create_keyframe_async(e)
+            # this frame IS the new reference keyframe
+            rec = FrameRecord(e["frame_id"], e["ts"], slot,
+                              np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), False)
+        self.records.append(rec)
+        return True
+
+    def _create_keyframe_async(self, e: dict) -> int:
+        """Keyframe chain for a lagged frame: all device work is enqueued;
+        the two read-back bundles (keyframe culling, loop detection) are
+        deferred to the NEXT keyframe so they are long prefetched."""
+        # resolve deferred bookkeeping from the previous keyframe first
+        if self._pending_cull is not None:
+            self._apply_cull_info(self._pending_cull)
+            self._pending_cull = None
+        if self._pending_det is not None:
+            det_slot, det = self._pending_det
+            self._pending_det = None
+            if self.cfg.enable_loop_closing:
+                self.map, closed = self.loop_closer.resolve_detection(
+                    self.map, det_slot, det)
+                if closed and self.cfg.verbose:
+                    print(f"  [loop] closed at kf slot {det_slot}")
+
+        slot = int(np.argmin(self._kf_valid_host))
+        self.map, _ = lm.insert_keyframe_from_frame(
+            self.map, e["frame"], e["step"].R, e["step"].t, e["step"].obs,
+            e["frame_id"], e["ts"])
+        self._kf_valid_host[slot] = True
+        if e["has_depth"]:
+            baseline = float(self.cam.bf) / float(self.cam.fx)
+            self.map = lm.create_depth_mappoints(
+                self.map, self.cam, slot, self.cfg.th_depth * baseline)
+        if self.cfg.enable_cull:
+            self.map = lm.cull_recent_mappoints(self.map)
+        self.map = lm.create_new_mappoints(self.map, self.cam, slot)
+        if self.cfg.enable_fuse:
+            self.map = lm.fuse_neighbors(self.map, self.cam, slot)
+        if self.cfg.enable_local_ba:
+            out = lm.local_bundle_adjustment(self.map, self.cam, slot)
+            self.map = out.map
+        if self.cfg.enable_kf_culling and self.n_keyframes > 8:
+            self.map, cull_info = lm.cull_keyframes(self.map, jnp.asarray(slot))
+            for a in (cull_info.slots, cull_info.ok, cull_info.new_ref,
+                      cull_info.R_rel, cull_info.t_rel):
+                a.copy_to_host_async()
+            self._pending_cull = cull_info
+        if self.loop_closer is not None:
+            self._pending_det = (
+                slot, self.loop_closer.dispatch_detection(self.map, slot))
+        self.ref_kf = slot
+        self.last_kf_frame = e["frame_id"]
+        self.ref_tracked = self._last_n_local
+        self._peak_n_local = 0
+        return slot
+
+    def flush(self):
+        """Drain all in-flight pipelined work (async mode).  Call before
+        reading trajectories / map state at the end of a sequence."""
+        while self._inflight:
+            if not self._resolve_oldest():
+                break
+        if self._pending_cull is not None:
+            self._apply_cull_info(self._pending_cull)
+            self._pending_cull = None
+        if self._pending_det is not None:
+            det_slot, det = self._pending_det
+            self._pending_det = None
+            if self.cfg.enable_loop_closing:
+                self.map, _ = self.loop_closer.resolve_detection(
+                    self.map, det_slot, det)
+
+    def _need_keyframe(self, n_tracked: int, frame_id: int | None = None) -> bool:
+        since = (self.frame_id if frame_id is None else frame_id) \
+            - self.last_kf_frame
         if since < self.cfg.min_frames_between_kf:
             return False
         c1 = since >= self.cfg.max_frames_between_kf
@@ -605,6 +787,7 @@ class System:
 
         Returns list of (frame_id, 4x4 Tcw or None).
         """
+        self.flush()
         out = []
         kf_R = np.asarray(self.map.kf_R)
         kf_t = np.asarray(self.map.kf_t)
@@ -623,6 +806,7 @@ class System:
 
     def keyframe_trajectory(self):
         """(slot, 4x4 Tcw) for all valid keyframes, by frame id order."""
+        self.flush()
         v = np.asarray(self.map.kf_valid)
         fids = np.asarray(self.map.kf_frame_id)
         kf_R = np.asarray(self.map.kf_R)
