@@ -59,10 +59,11 @@ def main():
         [(r.timestamp, T) for r, (fid, T) in
          zip(slam.records, slam.frame_trajectory()) if T is not None],
     )
+    ts_of = {r.frame_id: r.timestamp for r in slam.records}
     trajectory.save_tum(
         "KeyFrameTrajectory.txt",
-        [(float(np.asarray(slam.map.kf_timestamp[s])), T)
-         for s, T in ((fid, T) for fid, T in slam.keyframe_trajectory())],
+        [(ts_of[fid], T) for fid, T in slam.keyframe_trajectory()
+         if fid in ts_of],
     )
     t = sorted(times)
     print(f"median tracking time: {t[len(t)//2]*1e3:.1f} ms; "

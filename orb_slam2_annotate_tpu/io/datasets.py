@@ -91,6 +91,20 @@ def read_kitti_stereo(seq_dir: str) -> list[StereoSample]:
     return out
 
 
+def read_kitti_mono(seq_dir: str) -> list[MonoSample]:
+    """KITTI odometry sequence dir, left camera only (mono_kitti.cc
+    LoadImages)."""
+    return [MonoSample(s.timestamp, s.left_path)
+            for s in read_kitti_stereo(seq_dir)]
+
+
+def read_euroc_mono(seq_dir: str, ts_file: str) -> list[MonoSample]:
+    """EuRoC mav0 dir + timestamp list, cam0 only (mono_euroc.cc
+    LoadImages)."""
+    return [MonoSample(s.timestamp, s.left_path)
+            for s in read_euroc_stereo(seq_dir, ts_file)]
+
+
 def read_euroc_stereo(seq_dir: str, ts_file: str) -> list[StereoSample]:
     """EuRoC mav0 dir + timestamp list file (stereo_euroc.cc LoadImages)."""
     out = []

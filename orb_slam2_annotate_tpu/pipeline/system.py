@@ -350,7 +350,15 @@ class System:
             frame_id=self.frame_id, ts=timestamp, ref_kf=self.ref_kf,
             frame=frame, step=step, has_depth=has_depth,
         ))
-        while len(self._inflight) > self.cfg.async_depth:
+        # resolve every frame whose stats have already landed on the host
+        # (free — the pipeline stays full), and block only when the
+        # pipeline exceeds async_depth.  Effective decision lag therefore
+        # adapts to the real device latency instead of always being
+        # async_depth: keyframes stay fresh when the device keeps up.
+        while self._inflight:
+            ready = self._inflight[0]["step"].stats.is_ready()
+            if not ready and len(self._inflight) <= self.cfg.async_depth:
+                break
             if not self._resolve_oldest():
                 break
         # the definitive pose is still in flight; hand back the device

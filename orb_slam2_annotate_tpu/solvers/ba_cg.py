@@ -29,18 +29,19 @@ from .ba_core import (BAProblem, CHI2_MONO, CHI2_STEREO, _damp_blocks,
                       edge_chi2, edge_residual_jac)
 
 
-def _edge_weights(prob: BAProblem, r, is_stereo, robust):
+def _edge_weights(prob: BAProblem, r, is_stereo, depth_ok, robust):
     chi2 = edge_chi2(r, prob.inv_sigma2)
     delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
     w_huber = jnp.where(
         robust & (chi2 > delta2), jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)), 1.0
     )
-    w = prob.inv_sigma2 * w_huber * prob.edge_valid
+    w = prob.inv_sigma2 * w_huber * (prob.edge_valid & depth_ok)
     hub = jnp.where(
         chi2 > delta2,
         2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2,
         chi2,
     )
+    hub = jnp.where(depth_ok, hub, 1e6)
     cost = jnp.sum(hub * prob.edge_valid)
     return w, cost
 
@@ -63,8 +64,8 @@ def bundle_adjust_cg(cam, prob: BAProblem, iters: int = 10,
     def lm_step(carry, _):
         R, t, X, lam = carry
         p = prob._replace(R=R, t=t, points=X)
-        r, Jc, Jp, is_stereo = edge_residual_jac(cam, p)
-        w, cost = _edge_weights(prob, r, is_stereo, robust)
+        r, Jc, Jp, is_stereo, depth_ok = edge_residual_jac(cam, p)
+        w, cost = _edge_weights(prob, r, is_stereo, depth_ok, robust)
         Jc = jnp.where((prob.cam_fixed | ~cam_free)[ci][:, None, None], 0.0, Jc)
 
         Jcw = Jc * w[:, None, None]
@@ -128,8 +129,8 @@ def bundle_adjust_cg(cam, prob: BAProblem, iters: int = 10,
         R_new, t_new = jax.vmap(lie.se3_retract)(R, t, dc)
         X_new = X + dp * prob.pt_valid[:, None]
         p_new = prob._replace(R=R_new, t=t_new, points=X_new)
-        r2, _, _, st2 = edge_residual_jac(cam, p_new)
-        _, cost_new = _edge_weights(prob, r2, st2, robust)
+        r2, _, _, st2, dok2 = edge_residual_jac(cam, p_new)
+        _, cost_new = _edge_weights(prob, r2, st2, dok2, robust)
         better = cost_new < cost
         R = jnp.where(better, R_new, R)
         t = jnp.where(better, t_new, t)
@@ -142,11 +143,8 @@ def bundle_adjust_cg(cam, prob: BAProblem, iters: int = 10,
         length=iters,
     )
     p = prob._replace(R=R, t=t, points=X)
-    r, _, _, is_stereo = edge_residual_jac(cam, p)
+    r, _, _, is_stereo, depth_ok = edge_residual_jac(cam, p)
     chi2 = edge_chi2(r, prob.inv_sigma2)
     delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
-    xc_z = (
-        jnp.einsum("eij,ej->ei", R[ci], X[pi]) + t[ci]
-    )[:, 2]
-    inlier = prob.edge_valid & (chi2 <= delta2) & (xc_z > 0)
+    inlier = prob.edge_valid & (chi2 <= delta2) & depth_ok
     return R, t, X, inlier, costs[-1]

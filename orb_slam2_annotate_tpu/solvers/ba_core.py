@@ -71,14 +71,20 @@ def edge_residual_jac(cam: CameraModel, prob: BAProblem):
     """Residuals + Jacobians for every edge.
 
     Returns r [E,3], Jc [E,3,6] (wrt left se3 update of the edge's camera),
-    Jp [E,3,3] (wrt the world point), is_stereo [E].
+    Jp [E,3,3] (wrt the world point), is_stereo [E], depth_ok [E].
+
+    depth_ok gates out edges whose point sits at/behind the camera plane:
+    their clamped-z Jacobians are ~1e14-scale and overflow f32 in the
+    Hessian products (the reference instead drops such edges via its
+    per-iteration chi2/depth checks, Optimizer.cc:705-743).
     """
     Re = prob.R[prob.cam_idx]  # [E,3,3]
     te = prob.t[prob.cam_idx]
     Xw = prob.points[prob.pt_idx]
     xc = jnp.einsum("eij,ej->ei", Re, Xw) + te
     x, y, z = xc[:, 0], xc[:, 1], xc[:, 2]
-    z_safe = jnp.where(z < 1e-6, 1e-6, z)
+    depth_ok = z > 1e-3
+    z_safe = jnp.where(z < 1e-3, 1e-3, z)
     iz = 1.0 / z_safe
     iz2 = iz * iz
 
@@ -106,7 +112,7 @@ def edge_residual_jac(cam: CameraModel, prob: BAProblem):
     J_xc_cam = jnp.concatenate([eye, -lie.hat(xc)], axis=2)  # [E,3,6]
     Jc = dpix @ J_xc_cam
     Jp = dpix @ Re  # dxc/dXw = R
-    return r, Jc, Jp, is_stereo
+    return r, Jc, Jp, is_stereo, depth_ok
 
 
 def edge_chi2(r, inv_sigma2):
@@ -121,14 +127,15 @@ def build_normal_eqs(cam: CameraModel, prob: BAProblem, robust: bool):
     """
     C = prob.R.shape[0]
     P = prob.points.shape[0]
-    r, Jc, Jp, is_stereo = edge_residual_jac(cam, prob)
+    r, Jc, Jp, is_stereo, depth_ok = edge_residual_jac(cam, prob)
     chi2 = edge_chi2(r, prob.inv_sigma2)
     delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
     w_huber = jnp.where(
         robust & (chi2 > delta2), jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)), 1.0
     )
     fixed_e = prob.cam_fixed[prob.cam_idx]
-    w = prob.inv_sigma2 * w_huber * prob.edge_valid
+    live_e = prob.edge_valid & depth_ok
+    w = prob.inv_sigma2 * w_huber * live_e
     Jc = jnp.where(fixed_e[:, None, None], 0.0, Jc)
 
     Jcw = Jc * w[:, None, None]
@@ -146,12 +153,15 @@ def build_normal_eqs(cam: CameraModel, prob: BAProblem, robust: bool):
     gp = jnp.zeros((P, 3)).at[prob.pt_idx].add(gp_e)
     B = jnp.zeros((P, C, 6, 3)).at[prob.pt_idx, prob.cam_idx].add(Hcp_e)
 
-    # robust cost (for LM accept/reject): huberized chi2
+    # robust cost (for LM accept/reject): huberized chi2; behind-camera
+    # edges contribute a flat barrier so a step cannot "improve" cost by
+    # pushing points behind the camera
     hub = jnp.where(
         chi2 > delta2,
         2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2,
         chi2,
     )
+    hub = jnp.where(depth_ok, hub, 1e6)
     cost = jnp.sum(hub * prob.edge_valid)
     return Hcc, Hpp, B, gc, gp, cost
 
@@ -234,12 +244,9 @@ def bundle_adjust(cam: CameraModel, prob: BAProblem, iters: int = 10,
 
     # final chi2 classification (Optimizer.cc:705-743)
     p = prob._replace(R=R, t=t, points=X)
-    r, _, _, is_stereo = edge_residual_jac(cam, p)
+    r, _, _, is_stereo, depth_ok = edge_residual_jac(cam, p)
     chi2 = edge_chi2(r, prob.inv_sigma2)
     delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
     # positive-depth check like the reference's pMP->IsInKeyFrame + chi2 gate
-    xc_z = (
-        jnp.einsum("eij,ej->ei", R[prob.cam_idx], X[prob.pt_idx]) + t[prob.cam_idx]
-    )[:, 2]
-    inlier = prob.edge_valid & (chi2 <= delta2) & (xc_z > 0)
+    inlier = prob.edge_valid & (chi2 <= delta2) & depth_ok
     return R, t, X, inlier, costs[-1]

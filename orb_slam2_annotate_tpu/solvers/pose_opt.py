@@ -49,12 +49,16 @@ class PoseObs(NamedTuple):
 def _residual_jac(cam: CameraModel, R, t, obs: PoseObs):
     """Batched residuals and Jacobians wrt the left-multiplied se3 update.
 
-    Returns (r [N,3], J [N,3,6], is_stereo [N]).  Mono rows have r[:,2]=0,
-    J[2,:]=0 so they contribute 2 dof.
+    Returns (r [N,3], J [N,3,6], is_stereo [N], depth_ok [N]).  Mono rows
+    have r[:,2]=0, J[2,:]=0 so they contribute 2 dof.  depth_ok gates rows
+    whose point sits at/behind the camera: their clamped-z Jacobians are
+    enormous and would drown the Hessian (the reference never feeds such
+    points: isInFrustum pre-gates, Frame.cc:297).
     """
     xc = obs.xw @ R.T + t  # [N, 3]
     x, y, z = xc[:, 0], xc[:, 1], xc[:, 2]
-    z_safe = jnp.where(z < 1e-6, 1e-6, z)
+    depth_ok = z > 1e-3
+    z_safe = jnp.where(z < 1e-3, 1e-3, z)
     iz = 1.0 / z_safe
     iz2 = iz * iz
 
@@ -82,7 +86,7 @@ def _residual_jac(cam: CameraModel, R, t, obs: PoseObs):
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), (xc.shape[0], 3, 3))
     J_xc = jnp.concatenate([eye, -lie.hat(xc)], axis=2)  # [N, 3, 6]
     J = dpix @ J_xc  # [N, 3, 6]
-    return r, J, is_stereo
+    return r, J, is_stereo, depth_ok
 
 
 def _chi2(r, inv_sigma2, is_stereo):
@@ -110,11 +114,11 @@ def optimize_pose(cam: CameraModel, R0, t0, obs: PoseObs,
 
         def lm_iter(carry2, _):
             R, t, lam = carry2
-            r, J, is_stereo = _residual_jac(cam, R, t, obs)
+            r, J, is_stereo, depth_ok = _residual_jac(cam, R, t, obs)
             chi2 = _chi2(r, obs.inv_sigma2, is_stereo)
             delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
             w_huber = _huber_weight(chi2, delta2, robust)
-            w = obs.inv_sigma2 * w_huber * (obs.valid & inlier)
+            w = obs.inv_sigma2 * w_huber * (obs.valid & inlier & depth_ok)
 
             Jw = J * w[:, None, None]
             H = jnp.einsum("nij,nik->jk", Jw, J)  # [6,6]
@@ -125,7 +129,7 @@ def optimize_pose(cam: CameraModel, R0, t0, obs: PoseObs,
 
             R_new, t_new = lie.se3_retract(R, t, dx)
             # accept if total robust chi2 decreased
-            r2, _, _ = _residual_jac(cam, R_new, t_new, obs)
+            r2, _, _, _ = _residual_jac(cam, R_new, t_new, obs)
             chi2_new = _chi2(r2, obs.inv_sigma2, is_stereo)
             mask_w = (obs.valid & inlier).astype(jnp.float32)
             cost_old = jnp.sum(jnp.minimum(chi2, delta2 * 10.0) * mask_w)
@@ -141,10 +145,10 @@ def optimize_pose(cam: CameraModel, R0, t0, obs: PoseObs,
         )
 
         # chi2 reclassification (Optimizer.cc:412-446)
-        r, _, is_stereo = _residual_jac(cam, R, t, obs)
+        r, _, is_stereo, depth_ok = _residual_jac(cam, R, t, obs)
         chi2 = _chi2(r, obs.inv_sigma2, is_stereo)
         delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
-        inlier = obs.valid & (chi2 <= delta2)
+        inlier = obs.valid & (chi2 <= delta2) & depth_ok
         return (R, t, inlier), None
 
     inlier0 = obs.valid

@@ -54,8 +54,8 @@ def test_pose_opt_converges_from_perturbed_start():
     assert ang < 2e-3, f"rot err {ang}"
     # tz is weakly observable at this depth/noise; compare costs instead
     assert terr < 5e-2, f"trans err {terr}"
-    r, _, st = pose_opt._residual_jac(CAM, R, t, obs)
-    r_true, _, _ = pose_opt._residual_jac(
+    r, _, st, _ = pose_opt._residual_jac(CAM, R, t, obs)
+    r_true, _, _, _ = pose_opt._residual_jac(
         CAM, jnp.asarray(R_true), jnp.asarray(t_true), obs
     )
     cost = float(jnp.sum(pose_opt._chi2(r, obs.inv_sigma2, st)))
@@ -148,7 +148,7 @@ def make_ba_problem(n_cams=6, n_pts=150, noise=0.3, seed=0, pix_noise=0.5):
 
 
 def reproj_rmse(cam, prob):
-    r, _, _, _ = ba_core.edge_residual_jac(cam, prob)
+    r, _, _, _, _ = ba_core.edge_residual_jac(cam, prob)
     e2 = np.asarray(jnp.sum(r[:, :2] ** 2, axis=1))
     return float(np.sqrt(e2.mean()))
 
