@@ -67,7 +67,7 @@ def main():
 
     cfg = SlamConfig(n_features=1024, max_kf=128, max_mp=16384,
                      max_frames_between_kf=6, init_min_matches=60,
-                     async_depth=8)
+                     async_depth=3)
     slam = System(cam, cfg)
 
     # pre-render all frames so host rendering is outside the timed loop;

@@ -41,23 +41,29 @@ def _inv_sigma2(octave):
     return 1.0 / (SCALE ** (2.0 * octave.astype(jnp.float32)))
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("update_stats",))
 def insert_keyframe_from_frame(m: ms.MapState, frame: Frame, R, t,
-                               obs, frame_id, timestamp) -> tuple[ms.MapState, jnp.ndarray]:
-    """Insert the tracked frame as a keyframe.  Returns (map, slot)."""
+                               obs, frame_id, timestamp,
+                               update_stats: bool = True) -> tuple[ms.MapState, jnp.ndarray]:
+    """Insert the tracked frame as a keyframe.  Returns (map, slot).
+
+    update_stats=False skips the (non-cheap) distinctive-descriptor /
+    normal recompute; the caller must run ms.update_mappoint_stats once
+    at the end of its keyframe chain instead."""
     slot = ms.free_kf_slot(m)
     m = ms.insert_keyframe(
         m, slot, R, t, frame_id, timestamp,
         frame.xy, frame.ur, frame.depth, frame.octave, frame.angle,
         frame.desc, frame.valid, jnp.where(frame.valid, obs, -1),
     )
-    m = ms.update_mappoint_stats(m)
+    if update_stats:
+        m = ms.update_mappoint_stats(m)
     return m, slot
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("update_stats",))
 def create_depth_mappoints(m: ms.MapState, cam: CameraModel, slot,
-                           max_depth) -> ms.MapState:
+                           max_depth, update_stats: bool = True) -> ms.MapState:
     """Stereo/RGB-D: spawn map points for close features lacking one
     (StereoInitialization Tracking.cc:549 + CreateNewKeyFrame
     Tracking.cc:1164-1238: create points with depth < ThDepth*baseline)."""
@@ -100,11 +106,13 @@ def create_depth_mappoints(m: ms.MapState, cam: CameraModel, slot,
         ),
         mp_found=m.mp_found.at[slots].set(jnp.where(take, 1, m.mp_found[slots])),
     )
-    return ms.update_mappoint_stats(m)
+    if update_stats:
+        m = ms.update_mappoint_stats(m)
+    return m
 
 
-@jax.jit
-def cull_recent_mappoints(m: ms.MapState) -> ms.MapState:
+@partial(jax.jit, static_argnames=("update_stats",))
+def cull_recent_mappoints(m: ms.MapState, update_stats: bool = True) -> ms.MapState:
     """MapPointCulling rules (LocalMapping.cc:227-250):
 
     recent points (created within the last 3 keyframes) are dropped if
@@ -141,9 +149,10 @@ def _fundamental_between(cam: CameraModel, R1, t1, R2, t2):
     return Kinv.T @ E12 @ Kinv
 
 
-@partial(jax.jit, static_argnums=(3,))
+@partial(jax.jit, static_argnums=(3,), static_argnames=("update_stats",))
 def create_new_mappoints(m: ms.MapState, cam: CameraModel, slot,
-                         n_neighbors: int = 10) -> ms.MapState:
+                         n_neighbors: int = 10,
+                         update_stats: bool = True) -> ms.MapState:
     """Triangulate new points between the new keyframe and its best
     covisible neighbors (CreateNewMapPoints, LocalMapping.cc:253-509).
 
@@ -278,12 +287,15 @@ def create_new_mappoints(m: ms.MapState, cam: CameraModel, slot,
         mp_pos=mp_pos, mp_valid=mp_valid, mp_first_kf=mp_first,
         mp_visible=mp_vis, mp_found=mp_fnd, kf_obs=kf_obs,
     )
-    return ms.update_mappoint_stats(m)
+    if update_stats:
+        m = ms.update_mappoint_stats(m)
+    return m
 
 
-@partial(jax.jit, static_argnums=(3,))
+@partial(jax.jit, static_argnums=(3,), static_argnames=("update_stats",))
 def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
-                   n_neighbors: int = 10) -> ms.MapState:
+                   n_neighbors: int = 10,
+                   update_stats: bool = True) -> ms.MapState:
     """Two-way map-point fusion with covisible neighbors
     (SearchInNeighbors, LocalMapping.cc:511-594 + ORBmatcher::Fuse:940).
 
@@ -417,7 +429,9 @@ def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
     live = remap == jnp.arange(P)
     kf_obs = jnp.where(kf_obs >= 0, remap[jnp.clip(kf_obs, 0)], -1)
     m = m._replace(kf_obs=kf_obs, mp_valid=m.mp_valid & live)
-    return ms.update_mappoint_stats(m)
+    if update_stats:
+        m = ms.update_mappoint_stats(m)
+    return m
 
 
 class LocalBAOut(NamedTuple):
@@ -426,9 +440,10 @@ class LocalBAOut(NamedTuple):
     cost: jnp.ndarray
 
 
-@partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
+@partial(jax.jit, static_argnums=(3, 4), static_argnames=("update_stats",), donate_argnums=(0,))
 def local_bundle_adjustment(m: ms.MapState, cam: CameraModel, slot,
-                            n_opt: int = 16, n_fixed: int = 16) -> LocalBAOut:
+                            n_opt: int = 16, n_fixed: int = 16,
+                            update_stats: bool = True) -> LocalBAOut:
     """Covisible-window BA (Optimizer::LocalBundleAdjustment:483-813).
 
     Optimizable cameras: the new KF + its best covisible; fixed cameras:
@@ -471,41 +486,40 @@ def local_bundle_adjustment(m: ms.MapState, cam: CameraModel, slot,
     cam_fixed = cam_fixed.at[oldest].set(cam_fixed[oldest] | no_frontier)
 
     # local point index: compact to P_BA slots
-    P_BA = 4096
+    P_BA = 2048
     _, psel = jax.lax.top_k(pts_mask.astype(jnp.int32), P_BA)
     psel_ok = pts_mask[psel]
     g2l = jnp.full((P,), -1, jnp.int32).at[psel].set(
         jnp.where(psel_ok, jnp.arange(P_BA, dtype=jnp.int32), -1)
     )
 
-    # edges: every (c, n) of cams_all with obs in the point set
+    # edges: every (c, n) of cams_all with obs in the point set — kept as
+    # the [C, N] grid so the BA engine assembles normal equations with
+    # gathers instead of scatters (ba_core.bundle_adjust_grid)
     obs_grid = m.kf_obs[cams_all]  # [C, N]
     feat_ok = m.kf_feat_valid[cams_all] & cams_ok[:, None]
-    pt_loc = jnp.where(obs_grid >= 0, g2l[jnp.clip(obs_grid, 0)], -1)
+    pt_loc = jnp.where(feat_ok & (obs_grid >= 0),
+                       g2l[jnp.clip(obs_grid, 0)], -1)
     e_valid = feat_ok & (pt_loc >= 0)
+    octv = m.kf_octave[cams_all]
 
-    cam_idx = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N)).reshape(-1)
-    pt_idx = jnp.clip(pt_loc, 0).reshape(-1)
-    uv = m.kf_xy[cams_all].reshape(-1, 2)
-    ur = m.kf_ur[cams_all].reshape(-1)
-    octv = m.kf_octave[cams_all].reshape(-1)
-    ev = e_valid.reshape(-1)
-
-    prob = ba_core.BAProblem(
+    prob = ba_core.GridBA(
         R=m.kf_R[cams_all], t=m.kf_t[cams_all],
         points=m.mp_pos[psel],
         cam_fixed=cam_fixed | ~cams_ok,
         cam_valid=cams_ok,
         pt_valid=psel_ok,
-        cam_idx=cam_idx.astype(jnp.int32), pt_idx=pt_idx.astype(jnp.int32),
-        uv=uv, ur=ur,
-        inv_sigma2=_inv_sigma2(octv), edge_valid=ev,
+        pt_loc=pt_loc.astype(jnp.int32),
+        uv=m.kf_xy[cams_all], ur=m.kf_ur[cams_all],
+        inv_sigma2=_inv_sigma2(octv), edge_valid=e_valid,
     )
-    # robust iters, outlier re-mask, more iters (Optimizer.cc:668-704
-    # schedule, deepened: our LM rejects some steps so budget extra)
-    R1, t1, X1, inl1, _ = ba_core.bundle_adjust(cam, prob, iters=10, robust=True)
-    prob2 = prob._replace(R=R1, t=t1, points=X1, edge_valid=ev & inl1)
-    R2, t2, X2, inl2, cost = ba_core.bundle_adjust(cam, prob2, iters=20, robust=True)
+    # robust iters, outlier re-mask, more iters (the reference's 5-then-10
+    # schedule, Optimizer.cc:668-704)
+    R1, t1, X1, inl1, _ = ba_core.bundle_adjust_grid(cam, prob, iters=7, robust=True)
+    prob2 = prob._replace(R=R1, t=t1, points=X1, edge_valid=e_valid & inl1)
+    R2, t2, X2, inl2, cost = ba_core.bundle_adjust_grid(cam, prob2, iters=10, robust=True)
+    ev = e_valid.reshape(-1)
+    inl2 = inl2.reshape(-1)
 
     # --- write back poses & points.  Invalid slots in cams_all/psel are
     # top_k filler indices that may ALIAS valid slots elsewhere in the
@@ -527,7 +541,9 @@ def local_bundle_adjustment(m: ms.MapState, cam: CameraModel, slot,
     ).at[obs_tgt].set(obs_rows)[:K]
 
     m = m._replace(kf_R=kf_R, kf_t=kf_t, mp_pos=mp_pos, kf_obs=kf_obs)
-    return LocalBAOut(ms.update_mappoint_stats(m), jnp.sum(ev), cost)
+    if update_stats:
+        m = ms.update_mappoint_stats(m)
+    return LocalBAOut(m, jnp.sum(ev), cost)
 
 
 class CullInfo(NamedTuple):
@@ -541,9 +557,10 @@ class CullInfo(NamedTuple):
     t_rel: jnp.ndarray    # [max_cull,3]
 
 
-@partial(jax.jit, static_argnums=(2,))
+@partial(jax.jit, static_argnums=(2,), static_argnames=("update_stats",))
 def cull_keyframes(m: ms.MapState, protect_slot,
-                   max_cull: int = 4) -> tuple[ms.MapState, CullInfo]:
+                   max_cull: int = 4,
+                   update_stats: bool = True) -> tuple[ms.MapState, CullInfo]:
     """Redundant-keyframe culling (KeyFrameCulling, LocalMapping.cc:710):
     a local keyframe whose map points are >= 90% observed by at least 3
     OTHER keyframes at the same or finer scale is dropped.
@@ -612,4 +629,6 @@ def cull_keyframes(m: ms.MapState, protect_slot,
     info = CullInfo(drop.astype(jnp.int32), drop_ok, new_ref, R_rel, t_rel)
 
     m = m._replace(kf_valid=kf_valid, kf_obs=kf_obs)
-    return ms.update_mappoint_stats(m), info
+    if update_stats:
+        m = ms.update_mappoint_stats(m)
+    return m, info

@@ -73,7 +73,12 @@ def detect_loop_device(vocab, db_bows, m: ms.MapState, slot,
     min_score = jnp.min(nb_scores)
     min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.0)
 
-    # exclude the covisible group and the newest gap_kf keyframes
+    # exclude the covisible group and the gap_kf most recent keyframes.
+    # The reference only excludes the covisible group (DetectLoop,
+    # KeyFrameDatabase.cc:95-219) and instead gates detection entirely
+    # for 10 KFs after startup/last loop (LoopClosing.cc:110); a small
+    # recency exclusion (gap_kf=3) keeps immediate predecessors that
+    # covisibility misses out of candidacy.
     fid = jnp.where(m.kf_valid, m.kf_frame_id, -1)
     order = jnp.argsort(-fid)
     recent = jnp.zeros((K,), bool).at[order[:gap_kf]].set(True)
@@ -95,7 +100,9 @@ class LoopCloserConfig:
     min_total_matches: int = 40
     fix_scale: bool = False       # True for stereo/RGBD
     pose_graph_iters: int = 15
-    gap_kf: int = 10              # candidate must be >= this many KFs old
+    gap_kf: int = 3               # candidate must be >= this many KFs old
+    cooldown_kf: int = 10         # skip detection for this many KFs after
+                                  # startup / the last closure (LoopClosing.cc:110)
     run_global_ba: bool = True    # full BA after the essential graph
     global_ba_iters: int = 10     # (RunGlobalBundleAdjustment, :756)
 
@@ -111,6 +118,7 @@ class LoopCloser:
         self._streaks: dict[int, int] = {}
         self.loop_edges: list[tuple[int, int]] = []  # (slot_a, slot_b)
         self.n_loops_closed = 0
+        self._last_loop_kf = 0       # map.n_kf at the last closure
 
     # ------------------------------------------------------------------
 
@@ -132,6 +140,13 @@ class LoopCloser:
         (DetectLoop's nCovisibilityConsistencyTh=3 groups), then — rarely
         — the Sim3 + loop correction.  Returns (map, closed)."""
         cfg = self.cfg
+        # cooldown: no closures within cooldown_kf keyframes of startup or
+        # the previous closure (mnId < mLastLoopKFid+10, LoopClosing.cc:110);
+        # keyed on the map's monotonic keyframe counter like the reference's
+        # keyframe ids
+        if int(m.n_kf) < self._last_loop_kf + cfg.cooldown_kf:
+            self._streaks = {}
+            return m, False
         cands_np = np.asarray(det.cands)
         ok_np = np.asarray(det.ok)
         covrows = np.asarray(det.cand_covis)  # [8, K]
@@ -164,6 +179,7 @@ class LoopCloser:
         m = self._correct_loop(m, slot, confirmed, s12, R12, t12)
         self._streaks = {}
         self.n_loops_closed += 1
+        self._last_loop_kf = int(m.n_kf)
         return m, True
 
     def on_keyframe(self, m: ms.MapState, slot: int):

@@ -429,26 +429,32 @@ class System:
         slot = int(np.argmin(self._kf_valid_host))
         self.map, _ = lm.insert_keyframe_from_frame(
             self.map, e["frame"], e["step"].R, e["step"].t, e["step"].obs,
-            e["frame_id"], e["ts"])
+            e["frame_id"], e["ts"], update_stats=False)
         self._kf_valid_host[slot] = True
         if e["has_depth"]:
             baseline = float(self.cam.bf) / float(self.cam.fx)
             self.map = lm.create_depth_mappoints(
-                self.map, self.cam, slot, self.cfg.th_depth * baseline)
+                self.map, self.cam, slot, self.cfg.th_depth * baseline,
+                update_stats=False)
         if self.cfg.enable_cull:
             self.map = lm.cull_recent_mappoints(self.map)
-        self.map = lm.create_new_mappoints(self.map, self.cam, slot)
+        self.map = lm.create_new_mappoints(self.map, self.cam, slot,
+                                           update_stats=self.cfg.enable_fuse)
         if self.cfg.enable_fuse:
-            self.map = lm.fuse_neighbors(self.map, self.cam, slot)
+            self.map = lm.fuse_neighbors(self.map, self.cam, slot,
+                                         update_stats=False)
         if self.cfg.enable_local_ba:
-            out = lm.local_bundle_adjustment(self.map, self.cam, slot)
+            out = lm.local_bundle_adjustment(self.map, self.cam, slot,
+                                             update_stats=False)
             self.map = out.map
         if self.cfg.enable_kf_culling and self.n_keyframes > 8:
-            self.map, cull_info = lm.cull_keyframes(self.map, jnp.asarray(slot))
+            self.map, cull_info = lm.cull_keyframes(self.map, jnp.asarray(slot),
+                                                    update_stats=False)
             for a in (cull_info.slots, cull_info.ok, cull_info.new_ref,
                       cull_info.R_rel, cull_info.t_rel):
                 a.copy_to_host_async()
             self._pending_cull = cull_info
+        self.map = ms.update_mappoint_stats(self.map)
         if self.loop_closer is not None:
             self._pending_det = (
                 slot, self.loop_closer.dispatch_detection(self.map, slot))
@@ -494,32 +500,42 @@ class System:
         # the slot argmin is mirrored on host so the whole mapping chain
         # below dispatches with zero device->host reads
         slot = int(np.argmin(self._kf_valid_host))
+        # mp stats (distinctive descriptor / normal / scale band) are
+        # recomputed ONCE at the end of the chain; intermediate stages
+        # run with update_stats=False (they only touch geometry/obs)
         self.map, _ = lm.insert_keyframe_from_frame(
-            self.map, frame, self.R, self.t, obs, self.frame_id, timestamp
+            self.map, frame, self.R, self.t, obs, self.frame_id, timestamp,
+            update_stats=False,
         )
         self._kf_valid_host[slot] = True
         if has_depth:
             baseline = float(self.cam.bf) / float(self.cam.fx)
             self.map = lm.create_depth_mappoints(
-                self.map, self.cam, slot, self.cfg.th_depth * baseline
+                self.map, self.cam, slot, self.cfg.th_depth * baseline,
+                update_stats=False,
             )
         if self.cfg.enable_cull:
             self.map = lm.cull_recent_mappoints(self.map)
-        self.map = lm.create_new_mappoints(self.map, self.cam, slot)
+        self.map = lm.create_new_mappoints(self.map, self.cam, slot,
+                                           update_stats=self.cfg.enable_fuse)
         if self.cfg.enable_fuse:
-            self.map = lm.fuse_neighbors(self.map, self.cam, slot)
+            self.map = lm.fuse_neighbors(self.map, self.cam, slot,
+                                         update_stats=False)
         if self.cfg.enable_local_ba:
-            out = lm.local_bundle_adjustment(self.map, self.cam, slot)
+            out = lm.local_bundle_adjustment(self.map, self.cam, slot,
+                                             update_stats=False)
             if self.cfg.verbose:
                 print(f"  [ba] kf_slot={slot} edges={int(out.n_edges)} "
                       f"cost={float(out.cost):.1f}")
             self.map = out.map
         cull_info = None
         if self.cfg.enable_kf_culling and self.n_keyframes > 8:
-            self.map, cull_info = lm.cull_keyframes(self.map, jnp.asarray(slot))
+            self.map, cull_info = lm.cull_keyframes(self.map, jnp.asarray(slot),
+                                                    update_stats=False)
             for a in (cull_info.slots, cull_info.ok, cull_info.new_ref,
                       cull_info.R_rel, cull_info.t_rel):
                 a.copy_to_host_async()
+        self.map = ms.update_mappoint_stats(self.map)
         if self.loop_closer is not None:
             # dispatch loop detection (also writes the BoW row the
             # relocalizer needs); resolve immediately — the bundle is
@@ -583,8 +599,14 @@ class System:
         idx = res.idx
         x2 = frame.xy[jnp.clip(idx, 0)]
         key = jax.random.PRNGKey(self._rng.randint(2**31))
+        # min_parallax 2.5 deg: consecutive-frame pairs with tiny baseline
+        # triangulate a noisy bootstrap map that poisons the whole run;
+        # waiting ~2 frames of the orbit-scale motion costs little and
+        # halves final ATE on the synthetic benchmark (the reference's
+        # 1 deg gate assumes TUM-scale handheld baselines, Initializer.cc)
         init = initializer.initialize_two_view(
-            key, f0.xy, x2, res.matched, 200, 1.0, self.cam.K
+            key, f0.xy, x2, res.matched, 200, 1.0, self.cam.K,
+            min_parallax_deg=2.5,
         )
         if not bool(init.success):
             return False

@@ -264,9 +264,17 @@ def track_frame(cam: CameraModel, m: MapState, frame: Frame,
 
     res = track_local_map(cam, m, frame, R2, t2, obs2)
 
-    # velocity = Tcw_cur * Tcw_last^-1 (Tracking.cc:446-454)
+    # velocity = Tcw_cur * Tcw_last^-1 (Tracking.cc:446-454), damped in the
+    # tangent space.  Raw extrapolation closes a positive-feedback loop on
+    # weakly-observable pose modes (near-planar scenes): prediction carries
+    # the full error increment, matching/optimization confirm it (zero
+    # innovation along the weak mode), and the error grows ~1.6x/frame
+    # (Fibonacci).  gamma < 1 makes that loop contractive while keeping
+    # most of the motion prior.
+    GAMMA_VEL = 0.8
     Ri, ti = lie.se3_inverse(R_last, t_last)
-    vR, vt = lie.se3_compose(res.R, res.t, Ri, ti)
+    vR_raw, vt_raw = lie.se3_compose(res.R, res.t, Ri, ti)
+    vR, vt = lie.se3_exp(GAMMA_VEL * lie.se3_log(vR_raw, vt_raw))
     # pose relative to reference keyframe: Tcr = Tcw * Twr (Tracking.cc:514)
     Rr, tr = m.kf_R[ref_kf], m.kf_t[ref_kf]
     Rri, tri = lie.se3_inverse(Rr, tr)

@@ -41,7 +41,7 @@ def _edge_weights(prob: BAProblem, r, is_stereo, depth_ok, robust):
         2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2,
         chi2,
     )
-    hub = jnp.where(depth_ok, hub, 1e6)
+    hub = jnp.where(depth_ok, hub, 100.0 * delta2)
     cost = jnp.sum(hub * prob.edge_valid)
     return w, cost
 

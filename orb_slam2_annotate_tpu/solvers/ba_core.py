@@ -161,7 +161,7 @@ def build_normal_eqs(cam: CameraModel, prob: BAProblem, robust: bool):
         2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2,
         chi2,
     )
-    hub = jnp.where(depth_ok, hub, 1e6)
+    hub = jnp.where(depth_ok, hub, 100.0 * delta2)
     cost = jnp.sum(hub * prob.edge_valid)
     return Hcc, Hpp, B, gc, gp, cost
 
@@ -249,4 +249,206 @@ def bundle_adjust(cam: CameraModel, prob: BAProblem, iters: int = 10,
     delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
     # positive-depth check like the reference's pMP->IsInKeyFrame + chi2 gate
     inlier = prob.edge_valid & (chi2 <= delta2) & depth_ok
+    return R, t, X, inlier, costs[-1]
+
+
+# ---------------------------------------------------------------------------
+# Grid-structured BA: scatter-free normal equations
+# ---------------------------------------------------------------------------
+#
+# Local BA's edge set is the dense [C, N] keyframe-feature grid (every
+# feature of every window camera is at most one edge).  A map point is
+# observed AT MOST ONCE per keyframe, so the (point, camera) -> feature
+# inverse index is well-defined and CONSTANT across LM iterations.  The
+# scatter-heavy flat-edge path (build_normal_eqs) spends most of its TPU
+# time in .at[].add; here every per-iteration quantity is a gather +
+# einsum (MXU/VPU friendly), with the single scatter (building the
+# inverse index) done once per solve.
+
+
+class GridBA(NamedTuple):
+    """Grid BA problem over a [C, N] window.
+
+    pt_loc:   [C,N] i32 local point index (-1 = no edge)
+    uv/ur/inv_sigma2/edge_valid: per-feature measurement grids
+    """
+
+    R: jnp.ndarray            # [C,3,3]
+    t: jnp.ndarray            # [C,3]
+    points: jnp.ndarray       # [P,3]
+    cam_fixed: jnp.ndarray    # [C] bool
+    cam_valid: jnp.ndarray    # [C] bool
+    pt_valid: jnp.ndarray     # [P] bool
+    pt_loc: jnp.ndarray       # [C,N] i32
+    uv: jnp.ndarray           # [C,N,2]
+    ur: jnp.ndarray           # [C,N]
+    inv_sigma2: jnp.ndarray   # [C,N]
+    edge_valid: jnp.ndarray   # [C,N] bool
+
+
+def _grid_residual_jac(cam: CameraModel, R, t, X, g: GridBA):
+    """Residual/Jacobian grids: r [C,N,3], Jc [C,N,3,6], Jp [C,N,3,3]."""
+    Xg = X[jnp.clip(g.pt_loc, 0)]                      # [C,N,3]
+    xc = jnp.einsum("cij,cnj->cni", R, Xg) + t[:, None, :]
+    x, y, z = xc[..., 0], xc[..., 1], xc[..., 2]
+    depth_ok = z > 1e-3
+    z_safe = jnp.where(z < 1e-3, 1e-3, z)
+    iz = 1.0 / z_safe
+    iz2 = iz * iz
+
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    ur_pred = u - cam.bf * iz
+    is_stereo = g.ur >= 0
+    r = jnp.stack(
+        [u - g.uv[..., 0], v - g.uv[..., 1],
+         jnp.where(is_stereo, ur_pred - g.ur, 0.0)], axis=-1)
+
+    zeros = jnp.zeros_like(x)
+    du = jnp.stack([cam.fx * iz, zeros, -cam.fx * x * iz2], axis=-1)
+    dv = jnp.stack([zeros, cam.fy * iz, -cam.fy * y * iz2], axis=-1)
+    dr = du + jnp.stack([zeros, zeros, cam.bf * iz2], axis=-1)
+    dr = jnp.where(is_stereo[..., None], dr, 0.0)
+    dpix = jnp.stack([du, dv, dr], axis=-2)            # [C,N,3,3]
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), xc.shape[:2] + (3, 3))
+    J_xc_cam = jnp.concatenate([eye, -lie.hat(xc)], axis=-1)  # [C,N,3,6]
+    Jc = dpix @ J_xc_cam
+    Jp = jnp.einsum("cnij,cjk->cnik", dpix, R)
+    return r, Jc, Jp, is_stereo, depth_ok
+
+
+def _grid_cost(cam: CameraModel, R, t, X, g: GridBA, chi2_out: bool = False):
+    """Robust (huberized) cost only — no Jacobians, no gathers."""
+    Xg = X[jnp.clip(g.pt_loc, 0)]
+    xc = jnp.einsum("cij,cnj->cni", R, Xg) + t[:, None, :]
+    z = xc[..., 2]
+    depth_ok = z > 1e-3
+    z_safe = jnp.where(z < 1e-3, 1e-3, z)
+    u = cam.fx * xc[..., 0] / z_safe + cam.cx
+    v = cam.fy * xc[..., 1] / z_safe + cam.cy
+    ur_pred = u - cam.bf / z_safe
+    is_stereo = g.ur >= 0
+    e2 = (u - g.uv[..., 0]) ** 2 + (v - g.uv[..., 1]) ** 2 + jnp.where(
+        is_stereo, (ur_pred - g.ur) ** 2, 0.0)
+    chi2 = e2 * g.inv_sigma2
+    delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    hub = jnp.where(
+        chi2 > delta2,
+        2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2,
+        chi2,
+    )
+    hub = jnp.where(depth_ok, hub, 100.0 * delta2)
+    cost = jnp.sum(hub * g.edge_valid)
+    if chi2_out:
+        return cost, chi2, delta2, depth_ok
+    return cost
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def bundle_adjust_grid(cam: CameraModel, g: GridBA, iters: int = 10,
+                       robust: bool = True, lam0: float = 1e-5):
+    """Robust LM with dense Schur solve over a [C, N] observation grid.
+
+    Same semantics as bundle_adjust (Optimizer::LocalBundleAdjustment)
+    but with scatter-free per-iteration assembly.  Returns
+    (R [C,3,3], t [C,3], points [P,3], edge_inlier [C,N], cost).
+    """
+    C, N = g.pt_loc.shape
+    P = g.points.shape[0]
+    cam_free = g.cam_valid & ~g.cam_fixed
+    base_valid = g.edge_valid & (g.pt_loc >= 0)
+
+    # --- one-time (point, cam) -> feature inverse index: inv [P, C] in
+    # [0, N]; N = "no observation" (arrays below are padded with a zero
+    # column at n = N)
+    cam_ids = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N))
+    n_ids = jnp.broadcast_to(jnp.arange(N)[None, :], (C, N))
+    inv = jnp.full((P, C), N, jnp.int32).at[
+        jnp.clip(g.pt_loc, 0).reshape(-1), cam_ids.reshape(-1)
+    ].min(jnp.where(base_valid, n_ids, N).reshape(-1))
+
+    def pad_n(a):
+        """Append one zero entry along the feature axis (axis=1)."""
+        pad_width = [(0, 0), (0, 1)] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a, pad_width)
+
+    # linear indices into the flattened [C*(N+1)] grid: one single-axis
+    # gather lowers far better on TPU than a 2-axis advanced index
+    lin_sel_base = jnp.arange(C)[None, :] * (N + 1)   # [1, C]
+
+    def linearize(R, t, X):
+        r, Jc, Jp, is_stereo, depth_ok = _grid_residual_jac(cam, R, t, X, g)
+        chi2 = jnp.sum(r * r, axis=-1) * g.inv_sigma2
+        delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+        w_huber = jnp.where(
+            robust & (chi2 > delta2),
+            jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)), 1.0)
+        live = base_valid & depth_ok
+        w = g.inv_sigma2 * w_huber * live
+        Jc = jnp.where(g.cam_fixed[:, None, None, None], 0.0, Jc)
+        Jcw = Jc * w[..., None, None]
+        Jpw = Jp * w[..., None, None]
+
+        # camera-side: plain reductions over the feature axis
+        Hcc = jnp.einsum("cnij,cnik->cjk", Jcw, Jc)   # [C,6,6]
+        gc = jnp.einsum("cnij,cni->cj", Jcw, r)        # [C,6]
+
+        # point-side: gather each point's (<=1 per camera) observation
+        sel = inv + lin_sel_base                        # [P,C] linear ids
+
+        def take(a):
+            return pad_n(a).reshape((C * (N + 1),) + a.shape[2:])[sel]
+
+        Jp_pc = take(Jpw)                               # [P,C,3,3] (weighted)
+        Jp0_pc = take(Jp)                               # unweighted
+        Jcw_pc = take(Jcw)                              # [P,C,3,6]
+        r_pc = take(r)                                  # [P,C,3]
+
+        Hpp = jnp.einsum("pcij,pcik->pjk", Jp_pc, Jp0_pc)   # [P,3,3]
+        gp = jnp.einsum("pcij,pci->pj", Jp_pc, r_pc)         # [P,3]
+        B = jnp.einsum("pcij,pcik->pcjk", Jcw_pc, Jp0_pc)    # [P,C,6,3]
+
+        hub = jnp.where(
+            chi2 > delta2,
+            2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2,
+            chi2,
+        )
+        hub = jnp.where(depth_ok, hub, 100.0 * delta2)
+        cost = jnp.sum(hub * base_valid)
+        return Hcc, Hpp, B, gc, gp, cost
+
+    def lm_step(carry, _):
+        R, t, X, lam = carry
+        Hcc, Hpp, B, gc, gp, cost = linearize(R, t, X)
+
+        # the linearization (gathers over the grid) is the expensive part;
+        # the damped solve is cheap — so try several damping values per
+        # linearization and take the smallest-lambda improving step
+        # (g2o's OptimizationAlgorithmLevenberg retries the solve on
+        # rejection without re-linearizing)
+        def attempt(lam_k):
+            dc, dp = schur_solve_dense(Hcc, Hpp, B, gc, gp, lam_k, cam_free)
+            R_n, t_n = jax.vmap(lie.se3_retract)(R, t, dc)
+            X_n = X + dp * g.pt_valid[:, None]
+            return R_n, t_n, X_n, _grid_cost(cam, R_n, t_n, X_n, g)
+
+        lams = lam * jnp.asarray([1.0, 8.0, 64.0])
+        R_a, t_a, X_a, cost_a = jax.vmap(attempt)(lams)
+        improves = cost_a < cost
+        pick = jnp.argmax(improves)          # first (smallest-lam) improving
+        any_imp = jnp.any(improves)
+        R = jnp.where(any_imp, R_a[pick], R)
+        t = jnp.where(any_imp, t_a[pick], t)
+        X = jnp.where(any_imp, X_a[pick], X)
+        cost_new = jnp.where(any_imp, cost_a[pick], cost)
+        lam = jnp.where(any_imp, lams[pick] * 0.3, lam * 512.0)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        return (R, t, X, lam), cost_new
+
+    (R, t, X, _), costs = jax.lax.scan(
+        lm_step, (g.R, g.t, g.points, jnp.asarray(lam0)), None, length=iters)
+
+    _, chi2, delta2, depth_ok = _grid_cost(cam, R, t, X, g, chi2_out=True)
+    inlier = base_valid & (chi2 <= delta2) & depth_ok
     return R, t, X, inlier, costs[-1]

@@ -33,25 +33,34 @@ class MergeResult(NamedTuple):
     scale: float       # scale applied to B
 
 
-def find_cross_map_pair(m_a: ms.MapState, m_b: ms.MapState, vocab):
-    """Best BoW-matching keyframe pair (slot_a, slot_b, score)."""
+def find_cross_map_pair(m_a: ms.MapState, m_b: ms.MapState, vocab,
+                        top_k: int = 1):
+    """BoW-matching keyframe pairs, best first.
+
+    top_k == 1 returns a single (score, slot_a, slot_b) tuple (legacy);
+    top_k > 1 returns a list of such tuples sorted by descending score.
+    BoW scores on weakly-textured scenes are only a coarse prior, so the
+    caller should geometrically verify candidates in order (the
+    reference's loop closing evaluates several candidates the same way,
+    LoopClosing.cc:286).
+    """
     va = np.nonzero(np.asarray(m_a.kf_valid))[0]
     vb = np.nonzero(np.asarray(m_b.kf_valid))[0]
     if len(va) == 0 or len(vb) == 0:
-        return None
+        return None if top_k == 1 else []
     bows_a = jnp.stack([
         voc.bow_vector(vocab, m_a.kf_desc[int(k)], m_a.kf_feat_valid[int(k)])
         for k in va
     ])
-    best = (-1.0, -1, -1)
+    pairs = []
     for k_b in vb:
         bow_b = voc.bow_vector(vocab, m_b.kf_desc[int(k_b)],
                                m_b.kf_feat_valid[int(k_b)])
         scores = np.asarray(voc.l1_scores(bows_a, bow_b))
-        i = int(np.argmax(scores))
-        if scores[i] > best[0]:
-            best = (float(scores[i]), int(va[i]), int(k_b))
-    return best
+        for i in range(len(va)):
+            pairs.append((float(scores[i]), int(va[i]), int(k_b)))
+    pairs.sort(key=lambda x: -x[0])
+    return pairs[0] if top_k == 1 else pairs[:top_k]
 
 
 def solve_inter_map_sim3(m_a, m_b, cam: CameraModel, kf_a: int, kf_b: int,
@@ -100,11 +109,17 @@ def merge_maps(m_a: ms.MapState, m_b: ms.MapState, cam: CameraModel,
     """
     if vocab is None:
         vocab = voc.make_vocabulary()
-    pair = find_cross_map_pair(m_a, m_b, vocab)
-    if pair is None or pair[0] <= 0:
-        return MergeResult(m_a, False, -1, -1, 1.0)
-    _, kf_a, kf_b = pair
-    S = solve_inter_map_sim3(m_a, m_b, cam, kf_a, kf_b, fix_scale)
+    # geometric verification over the top BoW pairs: the first pair whose
+    # Sim3 RANSAC succeeds wins (BoW alone aliases on repetitive texture)
+    pairs = find_cross_map_pair(m_a, m_b, vocab, top_k=8)
+    S, kf_a, kf_b = None, -1, -1
+    for score, ka, kb in pairs or []:
+        if score <= 0:
+            break
+        S = solve_inter_map_sim3(m_a, m_b, cam, ka, kb, fix_scale)
+        if S is not None:
+            kf_a, kf_b = ka, kb
+            break
     if S is None:
         return MergeResult(m_a, False, kf_a, kf_b, 1.0)
     s, R, t = S

@@ -39,5 +39,6 @@ def test_out_and_back_loop():
     est_c = np.stack([-live[k][:3, :3].T @ live[k][:3, 3] for k in ids])
     gt_c = np.stack([-poses[k][0].T @ poses[k][1] for k in ids])
     rmse, _ = evaluation.ate_rmse(est_c, gt_c, with_scale=True)
-    # out-and-back with revisit: either the loop closes or drift stays low
-    assert rmse < 0.40, f"loop sequence ATE {rmse:.3f} m"
+    # out-and-back with revisit: either the loop closes or drift stays
+    # low (measured ~0.013 with damped-velocity tracking)
+    assert rmse < 0.08, f"loop sequence ATE {rmse:.3f} m"

@@ -56,6 +56,7 @@ def test_mono_synthetic_sequence():
     gt_c = np.stack(gt_c)
 
     rmse, _ = evaluation.ate_rmse(est_c, gt_c, with_scale=True)
-    # TODO(drift): tighten toward cm-class once loop closing + global BA
-    # land; current mono drift over this 2.4 m sweep is ~0.2-0.3 m
-    assert rmse < 0.35, f"ATE RMSE {rmse:.4f} m"
+    # cm-class accuracy: the velocity-extrapolation feedback loop on
+    # weakly-observable pose modes was the drift driver (fixed by damped
+    # velocity, tracking.py GAMMA_VEL); measured ~0.01 on this sweep
+    assert rmse < 0.08, f"ATE RMSE {rmse:.4f} m"

@@ -40,9 +40,9 @@ def test_rgbd_synthetic_sequence():
     err = np.linalg.norm(est_c - gt_c, axis=1)
     # a short transient excursion recovers (relocalization-like catch);
     # median must be tight, RMSE bounded.  TODO(drift): shrink transient.
-    assert float(np.median(err)) < 0.10, f"median err {np.median(err):.3f} m"
-    assert rmse < 0.35, f"RGB-D ATE RMSE {rmse:.3f} m"
+    assert float(np.median(err)) < 0.05, f"median err {np.median(err):.3f} m"
+    assert rmse < 0.10, f"RGB-D ATE RMSE {rmse:.3f} m"
     # scale must be metric (depth-seeded): end-to-end displacement ratio
     d_est = np.linalg.norm(est_c[-1] - est_c[0])
     d_gt = np.linalg.norm(gt_c[-1] - gt_c[0])
-    assert abs(d_est / d_gt - 1.0) < 0.1, (d_est, d_gt)
+    assert abs(d_est / d_gt - 1.0) < 0.05, (d_est, d_gt)

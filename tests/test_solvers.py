@@ -206,3 +206,31 @@ def test_ba_cg_matches_dense_schur():
         dR = np.asarray(R[c]) @ Rs[c].T
         ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
         assert ang < 5e-3, f"cam {c} rot err {ang}"
+
+
+def test_ba_grid_matches_flat():
+    """bundle_adjust_grid (gather assembly) must converge like the flat
+    scatter path on the same problem."""
+    prob, Rs, ts, X_true = make_ba_problem()
+    n_cams = prob.R.shape[0]
+    n_pts = prob.points.shape[0]
+    # flat edge list is the dense [C, P] grid here: pt_loc[c, n] = n
+    pt_loc = jnp.broadcast_to(jnp.arange(n_pts, dtype=jnp.int32)[None, :],
+                              (n_cams, n_pts))
+    g = ba_core.GridBA(
+        R=prob.R, t=prob.t, points=prob.points,
+        cam_fixed=prob.cam_fixed, cam_valid=prob.cam_valid,
+        pt_valid=prob.pt_valid, pt_loc=pt_loc,
+        uv=prob.uv.reshape(n_cams, n_pts, 2),
+        ur=prob.ur.reshape(n_cams, n_pts),
+        inv_sigma2=prob.inv_sigma2.reshape(n_cams, n_pts),
+        edge_valid=prob.edge_valid.reshape(n_cams, n_pts),
+    )
+    R, t, X, inlier, cost = ba_core.bundle_adjust_grid(CAM, g, iters=15)
+    prob_opt = prob._replace(R=R, t=t, points=X)
+    rmse = reproj_rmse(CAM, prob_opt)
+    assert rmse < 0.8, f"grid BA did not converge: rmse {rmse}"
+    assert bool(jnp.all(inlier == inlier.reshape(n_cams, n_pts))), "shape"
+    for c in range(n_cams):
+        err = np.linalg.norm(np.asarray(t[c]) - ts[c])
+        assert err < 0.05, f"cam {c} translation error {err}"
