@@ -52,7 +52,8 @@ class Features(NamedTuple):
         return self.xy.shape[0]
 
 
-def _extract_level(img, budget, cfg: ExtractorConfig, level: int):
+def _extract_level(img, budget, cfg: ExtractorConfig, level: int,
+                   tab: orb.OrbTables):
     import os
 
     if os.environ.get("ORBTPU_USE_PALLAS", "0") == "1":
@@ -73,21 +74,40 @@ def _extract_level(img, budget, cfg: ExtractorConfig, level: int):
     score = jnp.where(ok, score, 0.0)
 
     xy, resp, valid = select.select_keypoints(score, is_hi, budget)
-    angles = orb.ic_angles(img, xy, valid)
+    angles = orb.ic_angles(img, xy, valid, tab)
     blurred = pyramid.gaussian_blur(img)
-    desc = orb.brief_descriptors(blurred, xy, angles, valid)
+    desc = orb.brief_descriptors(blurred, xy, angles, valid, tab)
     octave = jnp.full((budget,), level, jnp.int32)
     return xy, resp, octave, angles, desc, valid
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def extract(image: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Features:
+def extract(image: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig(),
+            tab: orb.OrbTables | None = None) -> Features:
     """image: [H, W] grayscale in [0, 255] (u8 or f32).  Returns Features.
 
     Accepting uint8 lets callers ship 1 byte/pixel over the host-device
     link (4x less than f32 — the link is the bottleneck on remote TPUs);
     the cast to f32 happens on device.
+
+    When called OUTSIDE jit, the sampling tables resolve automatically;
+    inside a jitted caller, pass `tab` through from the host (capturing
+    device constants poisons the axon runtime — see ops/orb.py).
     """
+    if tab is None:
+        if isinstance(image, jax.core.Tracer):
+            raise ValueError(
+                "extract() called inside jit without `tab`: pass "
+                "orb.tables() through the jit boundary (capturing device "
+                "constants costs ~25 ms/call on axon and degrades the "
+                "whole session)."
+            )
+        tab = orb.tables()
+    return _extract_jit(image, tab, cfg)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _extract_jit(image: jnp.ndarray, tab: orb.OrbTables,
+                 cfg: ExtractorConfig) -> Features:
     image = image.astype(jnp.float32)
     levels = pyramid.build_pyramid(image, cfg.n_levels, cfg.scale)
     budgets = pyramid.features_per_level(cfg.n_features, cfg.n_levels, cfg.scale)
@@ -95,7 +115,7 @@ def extract(image: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Fea
 
     parts = []
     for l, (img, budget) in enumerate(zip(levels, budgets)):
-        xy, resp, octv, ang, desc, valid = _extract_level(img, budget, cfg, l)
+        xy, resp, octv, ang, desc, valid = _extract_level(img, budget, cfg, l, tab)
         xy = xy * scales[l]  # rescale to level-0 coords (ORBextractor.cc:1186-1195)
         parts.append((xy, resp, octv, ang, desc, valid))
 

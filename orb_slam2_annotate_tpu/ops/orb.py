@@ -14,9 +14,18 @@ parts": bit-exactness vs OpenCV is impossible anyway).
 
 All sampling is expressed as one big gather per level: [N, 512] pixel
 fetches from the blurred level image, then bit packing to [N, 8] uint32.
+
+TPU/axon note: the sampling tables are kept as NUMPY module constants and
+shipped to the device ONCE via `tables()`, then passed to every jitted
+function as ARGUMENTS.  Capturing a device array inside a jitted function
+(closure constant) costs ~25 ms/call on the axon remote-TPU runtime and
+permanently degrades the whole session to a ~25 ms-per-dispatch floor
+(measured: tools/exp_sticky.py / exp_repro.py) — never do it.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -66,7 +75,7 @@ def _load_pattern() -> np.ndarray:
     return _make_pattern()
 
 
-PATTERN = jnp.asarray(_load_pattern())  # [256, 4]
+PATTERN = _load_pattern()  # [256, 4] numpy (device copy lives in tables())
 
 
 def _circular_umax() -> np.ndarray:
@@ -78,20 +87,53 @@ def _circular_umax() -> np.ndarray:
 
 _UMAX = _circular_umax()
 # Precompute the circular orientation mask and coordinate grids once.
+# NUMPY on purpose (see module docstring): device copies live in tables().
 _Y, _X = np.mgrid[-HALF_PATCH : HALF_PATCH + 1, -HALF_PATCH : HALF_PATCH + 1]
-_CIRC_MASK = (np.abs(_X) <= _UMAX[_Y + HALF_PATCH]).astype(np.float32)
-CIRC_MASK = jnp.asarray(_CIRC_MASK)
-GRID_X = jnp.asarray(_X.astype(np.float32) * _CIRC_MASK)
-GRID_Y = jnp.asarray(_Y.astype(np.float32) * _CIRC_MASK)
+CIRC_MASK = (np.abs(_X) <= _UMAX[_Y + HALF_PATCH]).astype(np.float32)
+GRID_X = _X.astype(np.float32) * CIRC_MASK
+GRID_Y = _Y.astype(np.float32) * CIRC_MASK
 
 
-def ic_angles(image: jnp.ndarray, kps: jnp.ndarray, valid: jnp.ndarray):
+class OrbTables(NamedTuple):
+    """Device-resident sampling tables, passed into jitted kernels as
+    arguments (NOT captured — see module docstring)."""
+
+    grid_x: jnp.ndarray       # [31,31] f32 x-moment weights
+    grid_y: jnp.ndarray       # [31,31] f32 y-moment weights
+    circ_mask: jnp.ndarray    # [31,31] f32 circular patch mask
+    rot_offsets: jnp.ndarray  # [B,512,2] i32 steered BRIEF offsets
+
+
+_TABLES: OrbTables | None = None
+
+
+def tables() -> OrbTables:
+    """The device copy of the sampling tables (uploaded once per process).
+    Call OUTSIDE jit and pass the result through jit boundaries."""
+    global _TABLES
+    if _TABLES is None:
+        _TABLES = OrbTables(
+            grid_x=jnp.asarray(GRID_X),
+            grid_y=jnp.asarray(GRID_Y),
+            circ_mask=jnp.asarray(CIRC_MASK),
+            rot_offsets=jnp.asarray(_rotated_offset_table()),
+        )
+    return _TABLES
+
+
+def ic_angles(image: jnp.ndarray, kps: jnp.ndarray, valid: jnp.ndarray,
+              tab: OrbTables | None = None):
     """Intensity-centroid angle per keypoint.
 
     image: [H, W] f32 level image (unblurred, like the reference).
     kps:   [N, 2] f32 (x, y) level coordinates.
+    tab:   sampling tables; REQUIRED when called inside jit (default only
+           resolves safely outside a trace).
     Returns angles [N] in radians.
     """
+    if tab is None:
+        tab = tables()
+    GRID_Xd, GRID_Yd, CIRC_MASKd = tab.grid_x, tab.grid_y, tab.circ_mask
     h, w = image.shape
     x0 = jnp.clip(jnp.round(kps[:, 0]).astype(jnp.int32), HALF_PATCH, w - HALF_PATCH - 1)
     y0 = jnp.clip(jnp.round(kps[:, 1]).astype(jnp.int32), HALF_PATCH, h - HALF_PATCH - 1)
@@ -100,11 +142,11 @@ def ic_angles(image: jnp.ndarray, kps: jnp.ndarray, valid: jnp.ndarray):
         p = jax.lax.dynamic_slice(
             image, (yc - HALF_PATCH, xc - HALF_PATCH), (2 * HALF_PATCH + 1, 2 * HALF_PATCH + 1)
         )
-        m10 = jnp.sum(p * GRID_X)
-        m01 = jnp.sum(p * GRID_Y)
-        n = jnp.sum(CIRC_MASK)
-        mu = jnp.sum(p * CIRC_MASK) / n
-        var = jnp.sum((p - mu) ** 2 * CIRC_MASK) / n
+        m10 = jnp.sum(p * GRID_Xd)
+        m01 = jnp.sum(p * GRID_Yd)
+        n = jnp.sum(CIRC_MASKd)
+        mu = jnp.sum(p * CIRC_MASKd) / n
+        var = jnp.sum((p - mu) ** 2 * CIRC_MASKd) / n
         return m10, m01, var
 
     m10, m01, var = jax.vmap(patch_moments)(x0, y0)
@@ -114,7 +156,7 @@ def ic_angles(image: jnp.ndarray, kps: jnp.ndarray, valid: jnp.ndarray):
     # no such guard, IC_Angle ORBextractor.cc:78.)  Significance scale:
     # |m| for an uninformative patch ~ sigma_patch * sqrt(sum r^2).
     mag2 = m10 * m10 + m01 * m01
-    sum_r2 = jnp.sum(GRID_X**2 + GRID_Y**2)
+    sum_r2 = float(np.sum(GRID_X**2 + GRID_Y**2))  # numpy: compile-time scalar
     strong = mag2 > 4.0 * var * sum_r2
     return jnp.where(valid & strong, jnp.arctan2(m01, m10), 0.0)
 
@@ -144,23 +186,26 @@ def _rotated_offset_table() -> np.ndarray:
     return out
 
 
-ROT_OFFSETS = jnp.asarray(_rotated_offset_table())  # [B, 512, 2]
+ROT_OFFSETS = _rotated_offset_table()  # [B, 512, 2] numpy (device: tables())
 
 
 def brief_descriptors(blurred: jnp.ndarray, kps: jnp.ndarray, angles: jnp.ndarray,
-                      valid: jnp.ndarray) -> jnp.ndarray:
+                      valid: jnp.ndarray, tab: OrbTables | None = None) -> jnp.ndarray:
     """Rotated-BRIEF descriptors, bit-packed.
 
     blurred: [H, W] f32 blurred level image.
     kps: [N,2] (x,y) level coords; angles [N] radians.
+    tab: sampling tables; REQUIRED when called inside jit.
     Returns [N, 8] uint32 (256 bits).
     """
+    if tab is None:
+        tab = tables()
     h, w = blurred.shape
     two_pi = 2.0 * jnp.pi
     bin_ = jnp.round(
         (angles % two_pi) / (two_pi / N_ANGLE_BINS)
     ).astype(jnp.int32) % N_ANGLE_BINS
-    off = ROT_OFFSETS[bin_]                          # [N, 512, 2]
+    off = tab.rot_offsets[bin_]                      # [N, 512, 2]
 
     yk = jnp.round(kps[:, 1]).astype(jnp.int32)[:, None]
     xk = jnp.round(kps[:, 0]).astype(jnp.int32)[:, None]

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.camera import CameraModel, undistort_pixels
+from ..ops import orb
 from ..ops.extractor import ExtractorConfig, Features, extract
 from ..ops.hamming import hamming_pairwise
 from ..ops import pyramid
@@ -42,9 +43,14 @@ class Frame(NamedTuple):
     valid: jnp.ndarray     # [N] bool
 
 
-@partial(jax.jit, static_argnums=(2,))
 def make_frame_mono(image, cam: CameraModel, cfg: ExtractorConfig) -> Frame:
-    f = extract(image, cfg)
+    return _make_frame_mono(image, cam, orb.tables(), cfg)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _make_frame_mono(image, cam: CameraModel, tab: orb.OrbTables,
+                     cfg: ExtractorConfig) -> Frame:
+    f = extract(image, cfg, tab)
     xy_und = undistort_pixels(cam, f.xy)
     n = f.xy.shape[0]
     return Frame(
@@ -56,11 +62,16 @@ def make_frame_mono(image, cam: CameraModel, cfg: ExtractorConfig) -> Frame:
     )
 
 
-@partial(jax.jit, static_argnums=(3,))
 def make_frame_rgbd(image, depth_map, cam: CameraModel,
                     cfg: ExtractorConfig) -> Frame:
+    return _make_frame_rgbd(image, depth_map, cam, orb.tables(), cfg)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _make_frame_rgbd(image, depth_map, cam: CameraModel, tab: orb.OrbTables,
+                     cfg: ExtractorConfig) -> Frame:
     """depth_map: [H,W] f32 metric depth (0 = invalid)."""
-    f = extract(image, cfg)
+    f = extract(image, cfg, tab)
     xy_und = undistort_pixels(cam, f.xy)
     h, w = depth_map.shape
     xi = jnp.clip(jnp.round(f.xy[:, 0]).astype(jnp.int32), 0, w - 1)
@@ -114,9 +125,14 @@ def _sad_subpixel_refine(image_l, image_r, xy_l, xy_r, ur0,
     return jax.vmap(one)(xy_l[:, 0], xy_l[:, 1], ur0, xy_r[:, 1])
 
 
-@partial(jax.jit, static_argnums=(3,))
 def make_frame_stereo(image_l, image_r, cam: CameraModel,
                       cfg: ExtractorConfig) -> Frame:
+    return _make_frame_stereo(image_l, image_r, cam, orb.tables(), cfg)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _make_frame_stereo(image_l, image_r, cam: CameraModel,
+                       tab: orb.OrbTables, cfg: ExtractorConfig) -> Frame:
     """Rectified stereo pair.  Row-banded dense matching:
 
     For each left keypoint, candidate right keypoints are those within
@@ -128,8 +144,8 @@ def make_frame_stereo(image_l, image_r, cam: CameraModel,
     """
     image_l = image_l.astype(jnp.float32)  # u8 uploads: cast on device
     image_r = image_r.astype(jnp.float32)
-    fl = extract(image_l, cfg)
-    fr = extract(image_r, cfg)
+    fl = extract(image_l, cfg, tab)
+    fr = extract(image_r, cfg, tab)
     xy_und = undistort_pixels(cam, fl.xy)  # rectified: dist coeffs ~ 0
 
     # candidate mask: same row band, positive disparity
