@@ -82,13 +82,26 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """log: SO(3) -> so(3).  Accurate away from theta == pi."""
+    """log: SO(3) -> so(3).  Accurate away from theta == pi.
+
+    AD-safe at the identity: theta comes from arctan2(|sin|, cos) rather
+    than arccos (whose derivative blows up at cos == 1), and theta/sin
+    uses a double-where Taylor guard so jacfwd/jacrev through this log
+    stay finite for R -> I — the pose-graph solver linearizes exactly
+    there once the graph is near-consistent.
+    """
     cos_theta = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    # w / sinc(theta) = theta * axis
+    sq = jnp.sum(w * w, axis=-1)                # = sin(theta)^2
+    small = sq < 1e-12
+    sq_safe = jnp.where(small, 1.0, sq)
+    sin_theta = jnp.sqrt(sq_safe)
+    theta = jnp.arctan2(sin_theta, cos_theta)
+    # theta/sin(theta); small branch: 1 + theta^2/6, theta^2 ~ sq.
+    factor = jnp.where(small, 1.0 + sq / 6.0, theta / sin_theta)
     near_pi = cos_theta < -1.0 + 1e-4
-    safe = w / jnp.maximum(_sinc(theta), 1e-6)
+    safe = w * factor[..., None]
+    theta = jnp.where(near_pi, jnp.arccos(cos_theta), theta)
     # Near pi: axis from the symmetric part. B = (R + I)/2 = I + sin.. use
     # diagonal of R: R_ii = cos t + (1-cos t) a_i^2.
     axis_sq = jnp.clip((jnp.diagonal(R) - cos_theta) / (1.0 - cos_theta + _EPS), 0.0, 1.0)
