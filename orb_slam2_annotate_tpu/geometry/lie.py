@@ -86,9 +86,13 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
 
     AD-safe at the identity: theta comes from arctan2(|sin|, cos) rather
     than arccos (whose derivative blows up at cos == 1), and theta/sin
-    uses a double-where Taylor guard so jacfwd/jacrev through this log
-    stay finite for R -> I — the pose-graph solver linearizes exactly
-    there once the graph is near-consistent.
+    uses a double-where Taylor guard so jacfwd through this log stays
+    finite for R -> I — the pose-graph solver linearizes exactly there
+    once the graph is near-consistent.  jacfwd is also kept finite in the
+    near-pi branch by flooring the sqrt arguments (axis components that
+    are exactly 0 would otherwise put an infinite tangent in the selected
+    branch).  jacrev safety is NOT claimed: unselected-branch cotangents
+    through arccos/sqrt can still produce NaN in reverse mode.
     """
     cos_theta = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
@@ -101,11 +105,19 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     factor = jnp.where(small, 1.0 + sq / 6.0, theta / sin_theta)
     near_pi = cos_theta < -1.0 + 1e-4
     safe = w * factor[..., None]
-    theta = jnp.where(near_pi, jnp.arccos(cos_theta), theta)
+    # double-where: arccos' derivative is infinite at cos == +-1; only
+    # evaluate it on inputs where the near-pi branch is selected.
+    theta = jnp.where(
+        near_pi, jnp.arccos(jnp.where(near_pi, cos_theta, 0.0)), theta
+    )
     # Near pi: axis from the symmetric part. B = (R + I)/2 = I + sin.. use
     # diagonal of R: R_ii = cos t + (1-cos t) a_i^2.
     axis_sq = jnp.clip((jnp.diagonal(R) - cos_theta) / (1.0 - cos_theta + _EPS), 0.0, 1.0)
-    axis = jnp.sqrt(axis_sq)
+    # floor before sqrt: for a ~pi rotation about a coordinate axis two
+    # components of axis_sq are exactly 0 and sqrt's tangent is infinite
+    # in the SELECTED branch; the floor trades that for a ~sqrt(_EPS)
+    # axis error, negligible at the 1e-4 near-pi band.
+    axis = jnp.sqrt(jnp.maximum(jnp.where(near_pi, axis_sq, 1.0), _EPS))
     # fix signs using the off-diagonal skew part (w has sign info unless exactly pi)
     sign = jnp.where(jnp.abs(w) > 1e-7, jnp.sign(w), 1.0)
     pi_sol = theta * axis * sign

@@ -276,7 +276,12 @@ class LoopCloser:
             if kf_valid[a_i] and kf_valid[b_i]:
                 e_i.append(loc[int(a_i)])
                 e_j.append(loc[int(b_i)])
-        for a, b in self.loop_edges + [(slot, cand)]:
+        # historic loop edges only: their endpoints were made consistent at
+        # their own closure, so current relative poses are the right
+        # measurement.  The NEW loop edge must NOT be added here — its
+        # pre-correction relative pose encodes exactly the drift being
+        # corrected; it is appended below with the computed Sim3 instead.
+        for a, b in self.loop_edges:
             if kf_valid[a] and kf_valid[b]:
                 e_i.append(loc[a])
                 e_j.append(loc[b])

@@ -137,3 +137,48 @@ def test_batched_via_vmap():
     assert Rs.shape == (32, 3, 3) and ts.shape == (32, 3)
     xi2 = jax.vmap(lie.se3_log)(Rs, ts)
     np.testing.assert_allclose(np.asarray(xi2), np.asarray(xis), atol=1e-4)
+
+
+def test_so3_log_roundtrip_theta_sweep_and_jacfwd_finite():
+    """Pin so3_log(so3_exp(phi)) across theta in [1e-6, pi) including the
+    near-pi band, and require jacfwd of the pose-graph-style composed
+    residual log(R0^T exp(dphi) R0) at dphi=0 to be finite AND match
+    central differences (the round-1 regression left the pose graph with
+    a silently-inert NaN linearization)."""
+    axes = [
+        np.array([0.3, -0.5, 0.8]),
+        np.array([1.0, 0.0, 0.0]),       # coordinate axis (near-pi sqrt edge)
+        np.array([0.0, 0.0, 1.0]),
+    ]
+    thetas = [1e-6, 1e-4, 1e-3, 1e-2, 0.1, 0.5, 1.0, 2.0, 3.0, 3.1, 3.1406]
+
+    def res(dphi, R0):
+        return lie.so3_log(R0.T @ (lie.so3_exp(dphi) @ R0))
+
+    roundtrip = jax.jit(lambda phi: lie.so3_log(lie.so3_exp(phi)))
+    jac = jax.jit(jax.jacfwd(res, argnums=0))
+    res_j = jax.jit(res)
+
+    for ax in axes:
+        ax = ax / np.linalg.norm(ax)
+        for th in thetas:
+            phi = jnp.asarray(th * ax, dtype=jnp.float32)
+            back = roundtrip(phi)
+            tol = 2e-3 if th > 3.1 else 5e-5 if th > 2.5 else 1e-5
+            np.testing.assert_allclose(
+                np.asarray(back), np.asarray(phi), atol=tol,
+                err_msg=f"roundtrip theta={th} axis={ax}")
+
+            R = lie.so3_exp(phi)
+            J = jac(jnp.zeros(3, jnp.float32), R)
+            assert bool(jnp.all(jnp.isfinite(J))), f"jacfwd NaN at theta={th} axis={ax}"
+            if th < 3.0:  # FD itself is ill-conditioned in the near-pi band
+                eps = 1e-3
+                for i in range(3):
+                    e = np.zeros(3, np.float32)
+                    e[i] = eps
+                    fd = (np.asarray(res_j(jnp.asarray(e), R))
+                          - np.asarray(res_j(jnp.asarray(-e), R))) / (2 * eps)
+                    np.testing.assert_allclose(
+                        np.asarray(J[:, i]), fd, atol=5e-3,
+                        err_msg=f"jacfwd mismatch theta={th} axis={ax} col={i}")
