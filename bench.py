@@ -94,6 +94,13 @@ def main():
     fps = n_bench / total if total > 0 else 0.0
     if not ok:
         fps = 0.0
+    # per-stage breakdown to stderr (VERDICT r1 item 2: publish the
+    # profile with the headline number; stdout stays one JSON line)
+    print(f"bench: state={slam.state} kfs={slam.n_keyframes} "
+          f"mps={slam.n_mappoints} total={total:.2f}s", file=sys.stderr)
+    rep = slam.telemetry.report()
+    if rep:
+        print(rep, file=sys.stderr)
     print(json.dumps({
         "metric": "synthetic_mono_tracking_fps",
         "value": round(fps, 2),

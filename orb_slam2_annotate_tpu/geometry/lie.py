@@ -150,9 +150,11 @@ def se3_exp(xi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """log: SE(3) -> se(3)."""
+    from .smallsolve import solve3
+
     phi = so3_log(R)
     J = so3_left_jacobian(phi)
-    rho = jnp.linalg.solve(J, t)
+    rho = solve3(J, t)
     return jnp.concatenate([rho, phi], axis=-1)
 
 
@@ -272,8 +274,10 @@ def sim3_log(s, R, t):
         _, _, tc = sim3_exp(xi)
         return tc
 
+    from .smallsolve import solve3
+
     W = jnp.stack([col(basis[i]) for i in range(3)], axis=-1)
-    rho = jnp.linalg.solve(W, t)
+    rho = solve3(W, t)
     del xi0
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
 

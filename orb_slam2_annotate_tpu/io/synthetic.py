@@ -243,3 +243,63 @@ def loop_trajectory(n_frames: int, extent: float = 1.8, step: float = 0.06):
         t = -R @ cw
         poses.append((R, t))
     return poses
+
+
+class RoomScene(PlaneScene):
+    """Four textured walls around the origin (plus floor), for true
+    loop-closure scenarios: an outward-facing camera circling the room
+    sees each wall in turn, so covisibility between the loop's start and
+    end BREAKS mid-loop (unlike PlaneScene, where every view shares the
+    back wall and tracking re-finds old points without a loop closure).
+    """
+
+    def __init__(self, seed: int = 0, half: float = 6.0, tex_size: int = 768):
+        rng = np.random.RandomState(seed)
+        self.planes = []
+
+        def make_texture():
+            t = np.zeros((tex_size, tex_size), np.float32)
+            for octave in range(2, 7):
+                n = tex_size // (2 ** octave)
+                layer = rng.rand(n, n).astype(np.float32) - 0.5
+                layer = np.kron(layer, np.ones((2 ** octave, 2 ** octave),
+                                               np.float32))
+                t += layer * (1.4 ** octave)
+            t = t[:tex_size, :tex_size]
+            t = 120.0 + 60.0 * t / np.abs(t).max()
+            return np.clip(t, 5, 250)
+
+        h = half
+        walls = [
+            (np.array([-h, -4.0, h]), np.array([2 * h, 0, 0])),    # z=+h
+            (np.array([h, -4.0, h]), np.array([0, 0, -2 * h])),    # x=+h
+            (np.array([h, -4.0, -h]), np.array([-2 * h, 0, 0])),   # z=-h
+            (np.array([-h, -4.0, -h]), np.array([0, 0, 2 * h])),   # x=-h
+        ]
+        V = np.array([0, 8.0, 0])
+        for O, U in walls:
+            self.planes.append((O, U, V, make_texture()))
+        # floor
+        self.planes.append((np.array([-h, 2.0, h]), np.array([2 * h, 0, 0]),
+                            np.array([0, 0, -2 * h]), make_texture()))
+
+
+def circle_trajectory(n_frames: int, radius: float = 1.0,
+                      turns: float = 1.0):
+    """Outward-facing camera moving on a circle (world->cam poses).
+
+    The translation along the circle gives mono init its baseline; the
+    yaw sweep makes each wall enter and leave the view, breaking
+    covisibility until the loop completes.
+    """
+    poses = []
+    for k in range(n_frames):
+        a = 2.0 * np.pi * turns * k / n_frames
+        sa, ca = np.sin(a), np.cos(a)
+        p = np.array([radius * sa, 0.0, radius * ca], np.float32)
+        R = np.array([[ca, 0, -sa],
+                      [0, 1, 0],
+                      [sa, 0, ca]], np.float32)
+        t = -R @ p
+        poses.append((R, t))
+    return poses

@@ -32,11 +32,14 @@ from ..solvers import ba_core
 from ..solvers.ba_core import BAProblem
 
 
-def shard_ba_problem(prob: BAProblem, n_shards: int) -> BAProblem:
+def shard_ba_problem(prob: BAProblem, n_shards: int,
+                     return_perm: bool = False):
     """Host-side re-layout: group points (and their edges) into n_shards
     contiguous blocks, re-indexing pt_idx to shard-local coordinates
     relative to the block start.  Returns a BAProblem whose point axis and
-    edge axis are both divisible by n_shards, padded as needed.
+    edge axis are both divisible by n_shards, padded as needed; with
+    return_perm=True also returns new_index_of_pt [P_orig] (old point id
+    -> sharded position) so callers can un-permute solved points.
     """
     import numpy as np
 
@@ -93,7 +96,7 @@ def shard_ba_problem(prob: BAProblem, n_shards: int) -> BAProblem:
     inv_s2 = take_edges(prob.inv_sigma2, 1.0)
     e_valid = take_edges(prob.edge_valid, False)
 
-    return prob._replace(
+    out = prob._replace(
         points=jnp.asarray(points),
         pt_valid=jnp.asarray(pt_valid),
         cam_idx=jnp.asarray(cam_idx),
@@ -103,6 +106,9 @@ def shard_ba_problem(prob: BAProblem, n_shards: int) -> BAProblem:
         inv_sigma2=jnp.asarray(inv_s2),
         edge_valid=jnp.asarray(e_valid),
     )
+    if return_perm:
+        return out, new_index_of_pt[:P_tot]
+    return out
 
 
 def make_distributed_ba(mesh: Mesh, axis: str = "mp", iters: int = 10,

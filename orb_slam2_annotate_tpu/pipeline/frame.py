@@ -167,11 +167,16 @@ def _make_frame_stereo(image_l, image_r, cam: CameraModel,
     )
     del max_d
 
+    from ..ops import matching as _matching
+
     d = hamming_pairwise(fl.desc, fr.desc)
     dm = jnp.where(cand, d, 512)
     best = jnp.argmin(dm, axis=1)
     bestd = jnp.take_along_axis(dm, best[:, None], axis=1)[:, 0]
-    ok = bestd < 80  # TH_HIGH-ish acceptance like ORBmatcher TH_HIGH
+    # acceptance at the tuned TH_HIGH (reference uses thOrbDist =
+    # (TH_HIGH+TH_LOW)/2, Frame.cc:547; our thresholds are re-tuned to
+    # this pattern's Hamming statistics in ops/matching.py)
+    ok = bestd < (_matching.TH_HIGH + _matching.TH_LOW) // 2
 
     # sub-pixel disparity by SAD parabola (Frame.cc:599-655): slide a
     # patch window horizontally around the matched right keypoint and fit

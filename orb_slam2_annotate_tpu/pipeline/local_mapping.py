@@ -162,6 +162,7 @@ def create_new_mappoints(m: ms.MapState, cam: CameraModel, slot,
     surviving candidates are scattered into free map-point slots.
     """
     K, P, N = m.K, m.P, m.N
+    n_neighbors = min(n_neighbors, K - 1)  # small-capacity maps
     W = ms.covisibility(m)
     w_slot = jnp.where(m.kf_valid, W[slot], -1).at[slot].set(-1)
     _, nbrs = jax.lax.top_k(w_slot, n_neighbors)
@@ -292,42 +293,24 @@ def create_new_mappoints(m: ms.MapState, cam: CameraModel, slot,
     return m
 
 
-@partial(jax.jit, static_argnums=(3,), static_argnames=("update_stats",))
-def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
-                   n_neighbors: int = 10,
-                   update_stats: bool = True) -> ms.MapState:
-    """Two-way map-point fusion with covisible neighbors
-    (SearchInNeighbors, LocalMapping.cc:511-594 + ORBmatcher::Fuse:940).
+def _fuse_targets_core(m: ms.MapState, cam: CameraModel,
+                       targets, tgt_ok, src_masks,
+                       max_cand: int = 1024, ratio: float = 0.9):
+    """Shared projection-fuse machinery (ORBmatcher::Fuse:940 +
+    MapPoint::Replace:194 as a remap table).
 
-    For every (target keyframe, source point) pair where the point
-    projects close to a target feature with a consistent descriptor:
-      * feature has no point  -> add the association
-      * feature has another point -> merge: the point with more
-        observations absorbs the other (MapPoint::Replace, MapPoint.cc:194)
-        via a global remap table applied to every kf_obs entry.
-    Targets = the new keyframe and its n_neighbors best covisible KFs;
-    sources = points of the counterpart side.
+    targets [T] keyframe slots; tgt_ok [T] bool; src_masks [T, P]
+    source-point mask per target.  For every (target, source point)
+    pair where the point projects onto a consistent target feature:
+      * feature has no point      -> add the association
+      * feature has another point -> merge (more observations wins)
+    Returns the updated MapState (kf_obs rewritten through the remap,
+    losers invalidated).  Callers: fuse_neighbors (SearchInNeighbors,
+    LocalMapping.cc:511) and loop closing's SearchAndFuse
+    (LoopClosing.cc:689).
     """
     K, P, N = m.K, m.P, m.N
-    W = ms.covisibility(m)
-    w_slot = jnp.where(m.kf_valid, W[slot], -1).at[slot].set(-1)
-    _, nbrs = jax.lax.top_k(w_slot, n_neighbors)
-    nbr_ok = w_slot[nbrs] > 0
-    targets = jnp.concatenate([jnp.asarray([slot]), nbrs])       # [T]
-    tgt_ok = jnp.concatenate([jnp.asarray([True]), nbr_ok])
-
-    # source points for each target: points seen by the *other* side
-    own_pts_slot = jnp.zeros((P,), bool).at[jnp.clip(m.kf_obs[slot], 0)].max(
-        m.kf_obs[slot] >= 0
-    )
-    nbr_pts = jnp.zeros((P,), bool)
-    for i in range(n_neighbors):  # static loop, scatter per neighbor
-        o = m.kf_obs[nbrs[i]]
-        nbr_pts = nbr_pts.at[jnp.clip(o, 0)].max((o >= 0) & nbr_ok[i])
-    src_for_slot = nbr_pts & m.mp_valid          # fuse neighbors' pts into slot
-    src_for_nbr = own_pts_slot & m.mp_valid      # fuse slot's pts into neighbors
-
-    MAXC = 1024  # candidate points per target
+    MAXC = min(max_cand, P)
 
     def fuse_into(tkf, src_mask):
         """Returns (feat_match [N] point id or -1, dist)."""
@@ -346,9 +329,9 @@ def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
             & (dist <= m.mp_max_dist)
             & (vcos > 0.5)
         )
-        ratio = jnp.maximum(m.mp_max_dist / jnp.maximum(dist, 1e-9), 1.0)
+        dist_ratio = jnp.maximum(m.mp_max_dist / jnp.maximum(dist, 1e-9), 1.0)
         pred_oct = jnp.clip(
-            jnp.ceil(jnp.log(ratio) / jnp.log(SCALE)).astype(jnp.int32), 0, 7
+            jnp.ceil(jnp.log(dist_ratio) / jnp.log(SCALE)).astype(jnp.int32), 0, 7
         )
         _, cand = jax.lax.top_k(okp.astype(jnp.int32), MAXC)
         cvalid = okp[cand]
@@ -362,7 +345,7 @@ def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
         )
         res = matching.search_map_points(
             m.mp_desc[cand], cvalid, uv[cand], pred_oct[cand], radius, fr,
-            ratio=0.9, max_dist=matching.TH_LOW,
+            ratio=ratio, max_dist=matching.TH_LOW,
         )
         # geometric gates beyond the matcher's window: tight reprojection
         # residual and (when the feature has depth) depth agreement.  The
@@ -381,11 +364,7 @@ def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
         )
         return feat_pt
 
-    feat_pt_all = jax.vmap(
-        lambda tk, is_self: fuse_into(
-            tk, jnp.where(is_self, src_for_slot, src_for_nbr)
-        )
-    )(targets, jnp.arange(n_neighbors + 1) == 0)
+    feat_pt_all = jax.vmap(fuse_into)(targets, src_masks)
     feat_pt_all = jnp.where(tgt_ok[:, None], feat_pt_all, -1)  # [T, N]
 
     # --- resolve: existing obs vs proposed point
@@ -428,7 +407,61 @@ def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
     ).at[obs_tgt].set(new_obs_rows)[:K]
     live = remap == jnp.arange(P)
     kf_obs = jnp.where(kf_obs >= 0, remap[jnp.clip(kf_obs, 0)], -1)
-    m = m._replace(kf_obs=kf_obs, mp_valid=m.mp_valid & live)
+    return m._replace(kf_obs=kf_obs, mp_valid=m.mp_valid & live)
+
+
+@partial(jax.jit, static_argnums=(3,), static_argnames=("update_stats",))
+def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
+                   n_neighbors: int = 10,
+                   update_stats: bool = True) -> ms.MapState:
+    """Two-way map-point fusion with covisible neighbors
+    (SearchInNeighbors, LocalMapping.cc:511-594 + ORBmatcher::Fuse:940).
+
+    Targets = the new keyframe and its n_neighbors best covisible KFs;
+    sources = points of the counterpart side (the neighbors' points fuse
+    into the new keyframe; the new keyframe's points fuse into each
+    neighbor)."""
+    P = m.P
+    n_neighbors = min(n_neighbors, m.K - 1)  # small-capacity maps
+    W = ms.covisibility(m)
+    w_slot = jnp.where(m.kf_valid, W[slot], -1).at[slot].set(-1)
+    _, nbrs = jax.lax.top_k(w_slot, n_neighbors)
+    nbr_ok = w_slot[nbrs] > 0
+    targets = jnp.concatenate([jnp.asarray([slot]), nbrs])       # [T]
+    tgt_ok = jnp.concatenate([jnp.asarray([True]), nbr_ok])
+
+    own_pts_slot = jnp.zeros((P,), bool).at[jnp.clip(m.kf_obs[slot], 0)].max(
+        m.kf_obs[slot] >= 0
+    )
+    nbr_pts = jnp.zeros((P,), bool)
+    for i in range(n_neighbors):  # static loop, scatter per neighbor
+        o = m.kf_obs[nbrs[i]]
+        nbr_pts = nbr_pts.at[jnp.clip(o, 0)].max((o >= 0) & nbr_ok[i])
+    src_for_slot = nbr_pts & m.mp_valid          # fuse neighbors' pts into slot
+    src_for_nbr = own_pts_slot & m.mp_valid      # fuse slot's pts into neighbors
+    src_masks = jnp.concatenate(
+        [src_for_slot[None], jnp.broadcast_to(src_for_nbr, (n_neighbors, P))], 0
+    )
+
+    m = _fuse_targets_core(m, cam, targets, tgt_ok, src_masks)
+    if update_stats:
+        m = ms.update_mappoint_stats(m)
+    return m
+
+
+@partial(jax.jit, static_argnames=("update_stats",))
+def fuse_points_into(m: ms.MapState, cam: CameraModel, targets, tgt_ok,
+                     src_mask, update_stats: bool = True) -> ms.MapState:
+    """SearchAndFuse for loop closing (LoopClosing.cc:609-636, 689):
+    project one shared set of source points (the loop neighborhood's map
+    points) into every target keyframe (the corrected covisible group)
+    and fuse duplicates across the loop seam.
+
+    targets [T] i32, tgt_ok [T] bool, src_mask [P] bool.
+    """
+    T = targets.shape[0]
+    src_masks = jnp.broadcast_to(src_mask & m.mp_valid, (T, m.P))
+    m = _fuse_targets_core(m, cam, targets, tgt_ok, src_masks, ratio=0.8)
     if update_stats:
         m = ms.update_mappoint_stats(m)
     return m
@@ -452,6 +485,8 @@ def local_bundle_adjustment(m: ms.MapState, cam: CameraModel, slot,
     (keyframe-feature, point) associations masked to the point set.
     """
     K, P, N = m.K, m.P, m.N
+    n_opt = min(n_opt, K)        # small-capacity maps
+    n_fixed = min(n_fixed, K)
     W = ms.covisibility(m)
     w_slot = jnp.where(m.kf_valid, W[slot], -1).at[slot].set(-1)
     _, nb = jax.lax.top_k(w_slot, n_opt - 1)
@@ -486,7 +521,7 @@ def local_bundle_adjustment(m: ms.MapState, cam: CameraModel, slot,
     cam_fixed = cam_fixed.at[oldest].set(cam_fixed[oldest] | no_frontier)
 
     # local point index: compact to P_BA slots
-    P_BA = 2048
+    P_BA = min(2048, P)
     _, psel = jax.lax.top_k(pts_mask.astype(jnp.int32), P_BA)
     psel_ok = pts_mask[psel]
     g2l = jnp.full((P,), -1, jnp.int32).at[psel].set(
@@ -632,3 +667,19 @@ def cull_keyframes(m: ms.MapState, protect_slot,
     if update_stats:
         m = ms.update_mappoint_stats(m)
     return m, info
+
+
+@jax.jit
+def window_touched_points(m: ms.MapState, slot) -> jnp.ndarray:
+    """[P] mask of points the keyframe chain may have moved or
+    re-associated: everything observed by the new keyframe's covisible
+    window (the local-BA optimizable set + fusion targets)."""
+    K = m.K
+    n_win = min(16, K)
+    W = ms.covisibility(m)
+    w_slot = jnp.where(m.kf_valid, W[slot], -1).at[slot].set(-1)
+    _, nb = jax.lax.top_k(w_slot, n_win - 1)
+    kfs = jnp.concatenate([jnp.asarray([slot]), nb])
+    ok = jnp.concatenate([jnp.asarray([True]), w_slot[nb] > 0])
+    O = ms.observation_matrix(m)
+    return jnp.any(O[kfs] & ok[:, None], axis=0)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import lie
-from ..geometry.camera import CameraModel
+from ..geometry.camera import CameraModel, in_image
 from ..ops import matching
 from ..solvers import sim3 as sim3_solver
 from ..solvers.pose_graph import PoseGraphProblem, edge_measurement, optimize_pose_graph
@@ -92,6 +92,159 @@ def detect_loop_device(vocab, db_bows, m: ms.MapState, slot,
     )
 
 
+@jax.jit
+def sim3_guided_match(cam: CameraModel, m: ms.MapState, slot, cand,
+                      s12, R12, t12):
+    """SearchBySim3 (ORBmatcher.cc:1251): project each keyframe's map
+    points through the RANSAC Sim3 into the other image and match by
+    descriptor inside a scale-predicted window; keep mutually-agreeing
+    pairs (ORBmatcher.cc:1395-1406).  Returns idx [N] mapping slot
+    features -> cand features (-1 = none)."""
+    N = m.N
+    obs1, obs2 = m.kf_obs[slot], m.kf_obs[cand]
+    has1 = (obs1 >= 0) & m.kf_feat_valid[slot] & m.mp_valid[jnp.clip(obs1, 0)]
+    has2 = (obs2 >= 0) & m.kf_feat_valid[cand] & m.mp_valid[jnp.clip(obs2, 0)]
+    # camera-frame point coordinates on each side
+    x1 = m.mp_pos[jnp.clip(obs1, 0)] @ m.kf_R[slot].T + m.kf_t[slot]
+    x2 = m.mp_pos[jnp.clip(obs2, 0)] @ m.kf_R[cand].T + m.kf_t[cand]
+
+    def win_match(y, src_has, src_desc, dst_xy, dst_oct, dst_valid, dst_desc):
+        """Project src camera points y -> dst image, window match."""
+        z = jnp.maximum(y[:, 2], 1e-6)
+        uv = jnp.stack([cam.fx * y[:, 0] / z + cam.cx,
+                        cam.fy * y[:, 1] / z + cam.cy], 1)
+        dist = jnp.linalg.norm(y, axis=1)
+        ratio = jnp.maximum(8.0 / jnp.maximum(dist, 1e-9), 1.0)
+        pred_oct = jnp.clip(
+            jnp.ceil(jnp.log(ratio) / jnp.log(1.2)).astype(jnp.int32), 0, 7)
+        radius = 7.5 * (1.2 ** pred_oct.astype(jnp.float32))
+        ok = src_has & (y[:, 2] > 0.05)
+        cand_mask = matching.window_mask(uv, dst_xy, radius)
+        cand_mask &= matching.octave_mask(pred_oct, dst_oct, -1, 1)
+        cand_mask &= ok[:, None] & dst_valid[None, :]
+        res = matching.match_masked(src_desc, dst_desc, cand_mask,
+                                    max_dist=matching.TH_HIGH, ratio=1.0)
+        return res.idx
+
+    # cand pts -> slot image via S12
+    y1 = s12 * (x2 @ R12.T) + t12
+    idx_c2s = win_match(y1, has2, m.kf_desc[cand], m.kf_xy[slot],
+                        m.kf_octave[slot], m.kf_feat_valid[slot],
+                        m.kf_desc[slot])
+    # slot pts -> cand image via S12^-1
+    si, Ri, ti = lie.sim3_inverse(s12, R12, t12)
+    y2 = si * (x1 @ Ri.T) + ti
+    idx_s2c = win_match(y2, has1, m.kf_desc[slot], m.kf_xy[cand],
+                        m.kf_octave[cand], m.kf_feat_valid[cand],
+                        m.kf_desc[cand])
+    # mutual agreement: slot i -> cand j and cand j -> slot i
+    j = jnp.clip(idx_s2c, 0)
+    agree = (idx_s2c >= 0) & (idx_c2s[j] == jnp.arange(N))
+    return jnp.where(agree, idx_s2c, -1)
+
+
+@jax.jit
+def loop_projection_count(cam: CameraModel, m: ms.MapState, slot, cand,
+                          s12, R12, t12):
+    """Project the loop neighborhood's map points (cand + its covisible
+    keyframes' points) into `slot` at its CORRECTED pose and count
+    matched features (SearchByProjection with Scw, ORBmatcher.cc:335;
+    acceptance >= 40 total matches, LoopClosing.cc:421-449).
+
+    Returns (n_matched i32, feat_pt [N] matched loop point per slot
+    feature or -1 — reused as the loop-point replacement set)."""
+    K, P, N = m.K, m.P, m.N
+    W = ms.covisibility(m)
+    nb_mask = (W[cand] > 0) & m.kf_valid
+    nb_mask = nb_mask.at[cand].set(True)
+    # loop points: observed by the candidate's covisible group
+    O = ms.observation_matrix(m)
+    loop_pts = jnp.any(O & nb_mask[:, None], axis=0) & m.mp_valid  # [P]
+
+    # corrected pose of slot: S_slot = S12 o S_cand (world -> slot cam)
+    s_c, R_c, t_c = lie.sim3_compose(
+        s12, R12, t12, jnp.ones(()), m.kf_R[cand], m.kf_t[cand])
+    xc = s_c * (m.mp_pos @ R_c.T) + t_c
+    z = jnp.maximum(xc[:, 2], 1e-6)
+    uv = jnp.stack([cam.fx * xc[:, 0] / z + cam.cx,
+                    cam.fy * xc[:, 1] / z + cam.cy], 1)
+    okp = loop_pts & (xc[:, 2] > 0.05) & in_image(cam, uv)
+    dist = jnp.linalg.norm(xc, axis=1)
+    ratio = jnp.maximum(m.mp_max_dist / jnp.maximum(dist, 1e-9), 1.0)
+    pred_oct = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(1.2)).astype(jnp.int32), 0, 7)
+
+    MAXC = min(2048, P)
+    _, cnd = jax.lax.top_k(okp.astype(jnp.int32), MAXC)
+    cvalid = okp[cnd]
+    radius = 10.0 * (1.2 ** pred_oct[cnd].astype(jnp.float32))
+    cand_mask = matching.window_mask(uv[cnd], m.kf_xy[slot], radius)
+    cand_mask &= matching.octave_mask(pred_oct[cnd], m.kf_octave[slot], -1, 1)
+    cand_mask &= cvalid[:, None] & m.kf_feat_valid[slot][None, :]
+    res = matching.match_masked(m.mp_desc[cnd], m.kf_desc[slot], cand_mask,
+                                max_dist=matching.TH_LOW, ratio=1.0)
+    tgt = jnp.clip(res.idx, 0)
+    feat_pt = jnp.full((N,), -1, jnp.int32).at[tgt].max(
+        jnp.where(res.matched, cnd.astype(jnp.int32), -1))
+    return jnp.sum(feat_pt >= 0), feat_pt
+
+
+@jax.jit
+def fold_gba_device(m: ms.MapState, gba_R, gba_t, gba_X,
+                    snap_kf, snap_mp, old_R, old_t) -> ms.MapState:
+    """Fold an async global-BA result into the (possibly advanced) map
+    with spanning-tree propagation (LoopClosing.cc:793-851).
+
+    Keyframes that existed at dispatch adopt the BA poses; keyframes
+    created during the solve keep their relative pose to their strongest
+    snapshot-covisible parent: Tcw_new = (Tcw_child Tcw_parent^-1)
+    Tcw_parent_ba (the reference's mTcwGBA = Tchildc * Tparent_GBA).
+    Points created during the solve move with their first observing
+    keyframe's correction (mTcwBefGBA semantics).
+    """
+    K, P = m.K, m.P
+    live_snap = snap_kf & m.kf_valid          # solved & still alive
+    new_kf = m.kf_valid & ~snap_kf            # created during the solve
+
+    # parent per new KF: strongest covisible snapshot keyframe
+    W = ms.covisibility(m)
+    w_par = jnp.where(live_snap[None, :], W, -1)  # [K,K]
+    parent = jnp.argmax(w_par, axis=1)
+    has_par = jnp.max(w_par, axis=1) > 0
+
+    def chain(child_R, child_t, p):
+        Rp_old, tp_old = old_R[p], old_t[p]
+        Rp_new, tp_new = gba_R[p], gba_t[p]
+        Rpi, tpi = lie.se3_inverse(Rp_old, tp_old)
+        R_rel, t_rel = lie.se3_compose(child_R, child_t, Rpi, tpi)
+        return lie.se3_compose(R_rel, t_rel, Rp_new, tp_new)
+
+    prop_R, prop_t = jax.vmap(chain)(m.kf_R, m.kf_t, parent)
+
+    kf_R = jnp.where(live_snap[:, None, None], gba_R,
+                     jnp.where((new_kf & has_par)[:, None, None], prop_R,
+                               m.kf_R))
+    kf_t = jnp.where(live_snap[:, None], gba_t,
+                     jnp.where((new_kf & has_par)[:, None], prop_t, m.kf_t))
+
+    # points: snapshot points adopt BA positions; new points move with
+    # their first observing keyframe's correction.  The "old" pose for a
+    # new point's reference KF is its CURRENT map pose (the pose the
+    # point was triangulated against), not the pre-dispatch snapshot.
+    ref_kf = jnp.clip(m.mp_first_kf, 0, K - 1)
+    xc = jnp.einsum("pij,pj->pi", m.kf_R[ref_kf], m.mp_pos) + m.kf_t[ref_kf]
+    # ref KF's corrected pose (either BA'd or propagated)
+    R_ref_new = kf_R[ref_kf]
+    t_ref_new = kf_t[ref_kf]
+    x_new = jnp.einsum("pji,pj->pi", R_ref_new, xc - t_ref_new)
+    live_mp = snap_mp & m.mp_valid
+    new_mp = m.mp_valid & ~snap_mp
+    mp_pos = jnp.where(live_mp[:, None], gba_X,
+                       jnp.where(new_mp[:, None], x_new, m.mp_pos))
+    m = m._replace(kf_R=kf_R, kf_t=kf_t, mp_pos=mp_pos)
+    return ms.update_mappoint_stats(m)
+
+
 @dataclasses.dataclass
 class LoopCloserConfig:
     n_words: int = 4096
@@ -105,6 +258,8 @@ class LoopCloserConfig:
                                   # startup / the last closure (LoopClosing.cc:110)
     run_global_ba: bool = True    # full BA after the essential graph
     global_ba_iters: int = 10     # (RunGlobalBundleAdjustment, :756)
+    use_dist_gba: bool = True     # shard global BA over the mesh when
+                                  # more than one device is present
 
 
 class LoopCloser:
@@ -112,15 +267,42 @@ class LoopCloser:
                  config: LoopCloserConfig | None = None, seed: int = 42):
         self.cam = cam
         self.cfg = config or LoopCloserConfig()
-        self.vocab = voc.make_vocabulary(self.cfg.n_words, seed)
+        self.vocab = self._default_vocabulary(seed)
         self.db = voc.KeyFrameDatabase.create(max_kf, self.cfg.n_words)
         # host-side consistency bookkeeping: candidate slot -> streak length
         self._streaks: dict[int, int] = {}
         self.loop_edges: list[tuple[int, int]] = []  # (slot_a, slot_b)
         self.n_loops_closed = 0
         self._last_loop_kf = 0       # map.n_kf at the last closure
+        self._gba_pending = None     # async global BA awaiting fold-back
 
     # ------------------------------------------------------------------
+
+    def _default_vocabulary(self, seed: int):
+        """Trained vocabulary if one is checked in (tools/train_vocab.py
+        writes worldmap/trained_vocab.npz — the analog of shipping
+        Vocabulary/ORBvoc.txt, System.cc:64), else a seeded random one."""
+        import os
+
+        path = os.path.join(os.path.dirname(voc.__file__),
+                            "trained_vocab.npz")
+        if os.path.exists(path):
+            try:
+                v = voc.load_vocabulary(path)
+                if v.n_words == self.cfg.n_words:
+                    return v
+            except Exception:
+                pass
+        return voc.make_vocabulary(self.cfg.n_words, seed)
+
+    def grow_db(self, new_max_kf: int):
+        """Grow the BoW database's keyframe axis alongside a map capacity
+        bump (System._ensure_capacity)."""
+        K, W = self.db.bows.shape
+        if new_max_kf > K:
+            self.db = voc.KeyFrameDatabase(jnp.concatenate(
+                [self.db.bows, jnp.zeros((new_max_kf - K, W), jnp.float32)], 0
+            ))
 
     def dispatch_detection(self, m: ms.MapState, slot) -> LoopDetectOut:
         """Dispatch the fused detection program (slot may be a device
@@ -191,7 +373,11 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def _compute_sim3(self, m: ms.MapState, slot: int, cand: int):
-        """Match map points of the two keyframes, RANSAC a Sim3.
+        """Full ComputeSim3 pipeline (LoopClosing.cc:286-449): brute
+        descriptor match -> Sim3 RANSAC -> guided SearchBySim3 second
+        pass (ORBmatcher.cc:1251) -> OptimizeSim3 LM refinement
+        (Optimizer.cc:1116, >= 20 inliers) -> loop-neighborhood
+        projection acceptance (>= 40 matches, LoopClosing.cc:449).
         Returns (s, R, t) with x_slot ~ s R x_cand + t, or None."""
         cfg = self.cfg
         obs1 = m.kf_obs[slot]
@@ -208,25 +394,48 @@ class LoopCloser:
         if n_matches < cfg.min_ransac_inliers:
             return None
 
-        idx2 = jnp.clip(res.idx, 0)
-        mp1 = jnp.clip(obs1, 0)
-        mp2 = jnp.clip(obs2[idx2], 0)
-        # camera-frame coordinates in each keyframe (Sim3Solver.cc:66-99)
-        x1 = m.mp_pos[mp1] @ m.kf_R[slot].T + m.kf_t[slot]
-        x2 = m.mp_pos[mp2] @ m.kf_R[cand].T + m.kf_t[cand]
-        uv1 = m.kf_xy[slot]
-        uv2 = m.kf_xy[cand][idx2]
-        valid = res.matched
+        def gather_pairs(idx):
+            """Pair arrays for a slot->cand feature match vector."""
+            idx2 = jnp.clip(idx, 0)
+            mp1 = jnp.clip(obs1, 0)
+            mp2 = jnp.clip(obs2[idx2], 0)
+            # camera-frame coordinates in each keyframe (Sim3Solver.cc:66-99)
+            x1 = m.mp_pos[mp1] @ m.kf_R[slot].T + m.kf_t[slot]
+            x2 = m.mp_pos[mp2] @ m.kf_R[cand].T + m.kf_t[cand]
+            uv1 = m.kf_xy[slot]
+            uv2 = m.kf_xy[cand][idx2]
+            valid = (idx >= 0) & has1
+            return x1, x2, uv1, uv2, valid
 
+        x1, x2, uv1, uv2, valid = gather_pairs(res.idx)
         r = sim3_solver.sim3_ransac(
             jax.random.PRNGKey(int(m.n_kf)), self.cam,
             x2, x1, uv2, uv1, 128, cfg.fix_scale, valid=valid,
         )
         if not bool(r.success) or int(r.n_inliers) < cfg.min_ransac_inliers:
             return None
-        if n_matches < cfg.min_total_matches:
+
+        # guided SearchBySim3 pass extends the match set using the
+        # RANSAC Sim3, then OptimizeSim3 refines on the union
+        g_idx = sim3_guided_match(self.cam, m, jnp.asarray(slot),
+                                  jnp.asarray(cand), r.s, r.R, r.t)
+        merged = jnp.where(res.idx >= 0, res.idx, g_idx)
+        x1, x2, uv1, uv2, valid = gather_pairs(merged)
+        r2 = sim3_solver.optimize_sim3(
+            self.cam, r.s, r.R, r.t, x2, x1, uv2, uv1,
+            cfg.fix_scale, valid=valid,
+        )
+        if int(r2.n_inliers) < cfg.min_ransac_inliers:
             return None
-        return float(r.s), r.R, r.t
+
+        # acceptance: project the loop neighborhood's points into the
+        # current keyframe at its corrected pose; require >= 40 matches
+        n_proj, _ = loop_projection_count(
+            self.cam, m, jnp.asarray(slot), jnp.asarray(cand),
+            r2.s, r2.R, r2.t)
+        if int(n_proj) < cfg.min_total_matches:
+            return None
+        return float(r2.s), r2.R, r2.t
 
     # ------------------------------------------------------------------
 
@@ -356,20 +565,47 @@ class LoopCloser:
             kf_R=jnp.asarray(kf_R), kf_t=jnp.asarray(kf_t),
             mp_pos=jnp.asarray(pos),
         )
+
+        # --- SearchAndFuse across the seam (LoopClosing.cc:609-636, 689):
+        # project the loop neighborhood's map points into the corrected
+        # current-side keyframes and fuse the duplicates the loop created
+        from . import local_mapping as lm_mod
+
+        T_FUSE = min(12, K)
+        W2 = ms.covisibility(m)
+        w_cur = jnp.where(m.kf_valid, W2[slot], -1).at[slot].set(-1)
+        _, cur_nb = jax.lax.top_k(w_cur, T_FUSE - 1)
+        fuse_targets = jnp.concatenate([jnp.asarray([slot]), cur_nb])
+        fuse_ok = jnp.concatenate([jnp.asarray([True]), w_cur[cur_nb] > 0])
+        loop_nb = (W2[cand] > 0).at[cand].set(True) & m.kf_valid
+        O2 = ms.observation_matrix(m)
+        loop_pts = jnp.any(O2 & loop_nb[:, None], axis=0)
+        m = lm_mod.fuse_points_into(m, self.cam, fuse_targets, fuse_ok,
+                                    loop_pts, update_stats=False)
         m = ms.update_mappoint_stats(m)
         if cfg.run_global_ba:
-            m = self._global_ba(m, anchor=cand)
+            self._dispatch_global_ba(m, anchor=cand)
         self.loop_edges.append((slot, cand))
         return m
 
     # ------------------------------------------------------------------
+    # async global BA (RunGlobalBundleAdjustment, LoopClosing.cc:678,756)
+    # ------------------------------------------------------------------
 
-    def _global_ba(self, m: ms.MapState, anchor: int) -> ms.MapState:
-        """Full-map bundle adjustment after a loop closure
-        (RunGlobalBundleAdjustment, LoopClosing.cc:756) using the
-        matrix-free Schur-PCG engine (scales past the dense solver)."""
+    def _dispatch_global_ba(self, m: ms.MapState, anchor: int):
+        """Dispatch full-map BA asynchronously (the reference's transient
+        GBA std::thread, LoopClosing.cc:678).  JAX dispatch returns
+        immediately; tracking keeps running against the pose-graph-
+        corrected map, and maybe_fold_gba() folds the result in once the
+        device finishes — with spanning-tree propagation to keyframes and
+        points created during the solve (LoopClosing.cc:793-851)."""
         from ..solvers import ba_cg
         from ..solvers.ba_core import BAProblem
+
+        if self._gba_pending is not None:
+            # a newer loop supersedes a running GBA (mnFullBAIdx abort,
+            # LoopClosing.cc:487-502): drop the stale result
+            self._gba_pending = None
 
         K, P, N = m.K, m.P, m.N
         obs = m.kf_obs
@@ -388,10 +624,77 @@ class LoopCloser:
             uv=m.kf_xy.reshape(-1, 2), ur=m.kf_ur.reshape(-1),
             inv_sigma2=inv_s2, edge_valid=e_valid.reshape(-1),
         )
-        R, t, X, inlier, cost = ba_cg.bundle_adjust_cg(
-            self.cam, prob, iters=self.cfg.global_ba_iters, cg_iters=25,
+        n_dev = len(jax.devices())
+        if self.cfg.use_dist_gba and n_dev > 1:
+            # sharded-map global BA over the device mesh (SURVEY §2.3
+            # final row: per-shard normal equations, psum-reduced camera
+            # system over ICI).  The host-side shard re-layout syncs on
+            # the map arrays — acceptable for the rare closure event.
+            from ..parallel import dist_ba
+            from ..parallel.mesh import map_mesh
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            mesh = map_mesh()
+            sprob, perm = dist_ba.shard_ba_problem(prob, n_dev,
+                                                   return_perm=True)
+            spec_pt = NamedSharding(mesh, Pspec("mp"))
+            spec_rep = NamedSharding(mesh, Pspec())
+            sprob = sprob._replace(
+                points=jax.device_put(sprob.points, spec_pt),
+                pt_valid=jax.device_put(sprob.pt_valid, spec_pt),
+                cam_idx=jax.device_put(sprob.cam_idx, spec_pt),
+                pt_idx=jax.device_put(sprob.pt_idx, spec_pt),
+                uv=jax.device_put(sprob.uv, spec_pt),
+                ur=jax.device_put(sprob.ur, spec_pt),
+                inv_sigma2=jax.device_put(sprob.inv_sigma2, spec_pt),
+                edge_valid=jax.device_put(sprob.edge_valid, spec_pt),
+                R=jax.device_put(sprob.R, spec_rep),
+                t=jax.device_put(sprob.t, spec_rep),
+                cam_fixed=jax.device_put(sprob.cam_fixed, spec_rep),
+                cam_valid=jax.device_put(sprob.cam_valid, spec_rep),
+            )
+            ba_step = dist_ba.make_distributed_ba(
+                mesh, iters=self.cfg.global_ba_iters)
+            R, t, Xs, cost = ba_step(self.cam, sprob)
+            X = Xs[jnp.asarray(perm)]  # un-permute to original point order
+        else:
+            R, t, X, _, cost = ba_cg.bundle_adjust_cg(
+                self.cam, prob, iters=self.cfg.global_ba_iters, cg_iters=25,
+            )
+        self._gba_pending = dict(
+            R=R, t=t, X=X, cost=cost,
+            snap_kf=m.kf_valid, snap_mp=m.mp_valid,
+            old_R=m.kf_R, old_t=m.kf_t,
         )
-        bad = prob.edge_valid & ~inlier
-        kf_obs = jnp.where(bad.reshape(K, N), -1, m.kf_obs)
-        m = m._replace(kf_R=R, kf_t=t, mp_pos=X, kf_obs=kf_obs)
-        return ms.update_mappoint_stats(m)
+
+    def maybe_fold_gba(self, m: ms.MapState, force: bool = False) -> ms.MapState:
+        """Fold a finished async GBA into the current map.  Non-blocking
+        unless force=True: if the device is still solving, return the map
+        unchanged and try again at the next keyframe."""
+        g = self._gba_pending
+        if g is None:
+            return m
+        if not force:
+            try:
+                if not g["cost"].is_ready():
+                    return m
+            except Exception:
+                pass
+        self._gba_pending = None
+        if g["R"].shape[0] != m.K or g["X"].shape[0] != m.P:
+            # capacity grew mid-solve: pad the snapshot-shaped outputs
+            dK = m.K - g["R"].shape[0]
+            dP = m.P - g["X"].shape[0]
+            eye = jnp.tile(jnp.eye(3), (max(dK, 1), 1, 1))[:dK]
+            g["R"] = jnp.concatenate([g["R"], eye], 0)
+            g["t"] = jnp.concatenate([g["t"], jnp.zeros((dK, 3))], 0)
+            g["old_R"] = jnp.concatenate([g["old_R"], eye], 0)
+            g["old_t"] = jnp.concatenate([g["old_t"], jnp.zeros((dK, 3))], 0)
+            g["snap_kf"] = jnp.concatenate(
+                [g["snap_kf"], jnp.zeros((dK,), bool)], 0)
+            g["X"] = jnp.concatenate([g["X"], jnp.zeros((dP, 3))], 0)
+            g["snap_mp"] = jnp.concatenate(
+                [g["snap_mp"], jnp.zeros((dP,), bool)], 0)
+        return fold_gba_device(m, g["R"], g["t"], g["X"],
+                               g["snap_kf"], g["snap_mp"],
+                               g["old_R"], g["old_t"])

@@ -264,6 +264,7 @@ class System:
                 self.state = "LOST"
                 self.vel = None
                 self._record(lost=True)
+                self._maybe_auto_reset()
                 return None
             # relocalized: re-run the fused step from the recovered pose
             step = tk.track_frame(
@@ -390,6 +391,8 @@ class System:
             self.vel = None
             if self._try_relocalize(self.last_frame):
                 self.state = "OK"
+            else:
+                self._maybe_auto_reset()
             return False
 
         poses = np.asarray(e["step"].poses)
@@ -409,10 +412,43 @@ class System:
         self.records.append(rec)
         return True
 
+    def _ensure_capacity(self):
+        """Grow the map's (K, P) capacity tiers before inserting a
+        keyframe (SURVEY §7; replaces the silent slot-0 overwrite the
+        round-1 free_kf_slot had when the map filled up).
+
+        Keyframe tier: doubled when every slot is live (host mirror, no
+        device read).  Map-point tier: a host-side upper bound on live
+        points (each keyframe adds at most 2N new points) triggers ONE
+        device read of the true count; the tier doubles only if the true
+        headroom is short.  Growth re-jits the pipeline at the new shapes.
+        """
+        if self._kf_valid_host.all():
+            new_K = 2 * self.map.K
+            self.map = ms.grow_map(self.map, new_K=new_K)
+            self._kf_valid_host = np.concatenate([
+                self._kf_valid_host,
+                np.zeros(new_K - len(self._kf_valid_host), bool),
+            ])
+            if self.loop_closer is not None:
+                self.loop_closer.grow_db(new_K)
+            if self.cfg.verbose:
+                print(f"  [map] keyframe capacity -> {new_K}")
+        n = self.map.N
+        self._mp_upper = getattr(self, "_mp_upper", 0) + 2 * n
+        if self._mp_upper + 2 * n > self.map.P:
+            self._mp_upper = self.n_mappoints  # one device read, rare
+            if self._mp_upper + 2 * n > self.map.P:
+                new_P = 2 * self.map.P
+                self.map = ms.grow_map(self.map, new_P=new_P)
+                if self.cfg.verbose:
+                    print(f"  [map] map-point capacity -> {new_P}")
+
     def _create_keyframe_async(self, e: dict) -> int:
         """Keyframe chain for a lagged frame: all device work is enqueued;
         the two read-back bundles (keyframe culling, loop detection) are
         deferred to the NEXT keyframe so they are long prefetched."""
+        self._ensure_capacity()
         # resolve deferred bookkeeping from the previous keyframe first
         if self._pending_cull is not None:
             self._apply_cull_info(self._pending_cull)
@@ -425,6 +461,8 @@ class System:
                     self.map, det_slot, det)
                 if closed and self.cfg.verbose:
                     print(f"  [loop] closed at kf slot {det_slot}")
+        if self.loop_closer is not None:
+            self.map = self.loop_closer.maybe_fold_gba(self.map)
 
         slot = int(np.argmin(self._kf_valid_host))
         self.map, _ = lm.insert_keyframe_from_frame(
@@ -479,6 +517,18 @@ class System:
             if self.cfg.enable_loop_closing:
                 self.map, _ = self.loop_closer.resolve_detection(
                     self.map, det_slot, det)
+        if self.loop_closer is not None:
+            self.map = self.loop_closer.maybe_fold_gba(self.map, force=True)
+
+    def _maybe_auto_reset(self):
+        """Tracking lost right after initialization (map has <= 5
+        keyframes): the bootstrap map is unsalvageable — reset the whole
+        system so the next frames re-initialize (Tracking.cc:496-504,
+        System::Reset via mpSystem->Reset())."""
+        if self.state == "LOST" and 0 < self.n_keyframes <= 5:
+            if self.cfg.verbose:
+                print("  [reset] lost soon after init; resetting map")
+            self.reset()
 
     def _need_keyframe(self, n_tracked: int, frame_id: int | None = None) -> bool:
         since = (self.frame_id if frame_id is None else frame_id) \
@@ -495,6 +545,7 @@ class System:
         return (c1 or c2) and n_tracked > self.cfg.min_inliers_track
 
     def _create_keyframe(self, frame, timestamp, obs, has_depth):
+        self._ensure_capacity()
         self._tele_kf = self.telemetry.stage("mapping/keyframe")
         self._tele_kf.__enter__()
         # the slot argmin is mirrored on host so the whole mapping chain
@@ -546,6 +597,7 @@ class System:
                     self.map, slot, det)
                 if closed and self.cfg.verbose:
                     print(f"  [loop] closed at kf slot {slot}")
+            self.map = self.loop_closer.maybe_fold_gba(self.map)
         if cull_info is not None:
             self._apply_cull_info(cull_info)
         # adopt possibly-updated pose of the new keyframe
@@ -719,63 +771,40 @@ class System:
     # ---- relocalization (Tracking::Relocalization, Tracking.cc:1462) --
 
     def _try_relocalize(self, frame: Frame) -> bool:
-        """BoW candidate retrieval -> per-candidate descriptor matching
-        -> batched PnP RANSAC -> pose refinement.  Success >= 50 inliers
-        like the reference (Tracking.cc:1617)."""
+        """One fused device program over ALL BoW candidates (descriptor
+        match -> batched DLT-PnP RANSAC -> LM polish, with covisibility-
+        accumulated candidate scoring), then one track_local_map
+        refinement of the winner.  Two host syncs total, vs 3+ per
+        candidate in the round-1 sequential loop (weak item 6).
+        Success >= 50 inliers like the reference (Tracking.cc:1617)."""
         if self.loop_closer is None or not self.cfg.enable_relocalization:
             return False
         if self.n_keyframes < 2:
             return False
         lc = self.loop_closer
-        bow = voc.bow_vector(lc.vocab, frame.desc, frame.valid)
-        slots, ok = voc.detect_relocalization_candidates(
-            lc.db, bow, self.map.kf_valid, None
+        cand = tk.relocalize_candidates(
+            self.cam, self.map, frame, lc.vocab, lc.db.bows,
+            jax.random.PRNGKey(self.frame_id),
         )
-        m = self.map
-        for slot_, ok_ in zip(np.asarray(slots), np.asarray(ok)):
-            if not ok_:
-                continue
-            slot = int(slot_)
-            obs_kf = m.kf_obs[slot]
-            has = (obs_kf >= 0) & m.kf_feat_valid[slot] & m.mp_valid[
-                jnp.clip(obs_kf, 0)
-            ]
-            cand_mask = has[:, None] & frame.valid[None, :]
-            res = matching.match_masked(
-                m.kf_desc[slot], frame.desc, cand_mask,
-                max_dist=matching.TH_LOW, ratio=0.75,
-            )
-            if int(res.count) < 15:
-                continue
-            ids = jnp.clip(obs_kf, 0)
-            N = frame.xy.shape[0]
-            obs = jnp.full((N,), -1, jnp.int32).at[jnp.clip(res.idx, 0)].max(
-                jnp.where(res.matched, jnp.where(has, obs_kf, -1), -1)
-            )
-            pvalid = (obs >= 0) & frame.valid
-            xw = m.mp_pos[jnp.clip(obs, 0)]
-            r = pnp.pnp_ransac(
-                jax.random.PRNGKey(self.frame_id), self.cam, xw, frame.xy,
-                pvalid, min_inliers=15,
-            )
-            if not bool(r.success):
-                continue
-            # refine via local map tracking from the PnP pose
-            res2 = tk.track_local_map(self.cam, m, frame, r.R, r.t, obs)
-            if int(res2.n_inliers) < 50:
-                continue
-            self.R, self.t = res2.R, res2.t
-            self.last_frame = frame
-            self.last_obs = res2.obs
-            self.vel = None
-            self.ref_kf = slot
-            self.state = "OK"
-            self.frames_since_reloc = 0
-            if self.cfg.verbose:
-                print(f"  [reloc] recovered against kf slot {slot} "
-                      f"({int(res2.n_inliers)} inliers)")
-            return True
-        return False
+        slot = int(cand.best_slot)  # one sync; bundle is tiny
+        if slot < 0:
+            return False
+        # refine via local map tracking from the winning PnP pose
+        res2 = tk.track_local_map(self.cam, self.map, frame,
+                                  cand.R, cand.t, cand.obs)
+        if int(res2.n_inliers) < 50:
+            return False
+        self.R, self.t = res2.R, res2.t
+        self.last_frame = frame
+        self.last_obs = res2.obs
+        self.vel = None
+        self.ref_kf = slot
+        self.state = "OK"
+        self.frames_since_reloc = 0
+        if self.cfg.verbose:
+            print(f"  [reloc] recovered against kf slot {slot} "
+                  f"({int(res2.n_inliers)} inliers)")
+        return True
 
     # ---- bookkeeping --------------------------------------------------
 

@@ -133,6 +133,8 @@ def track_local_map(cam: CameraModel, m: MapState, frame: Frame, R, t, obs,
     """
     P = m.P
     N = frame.xy.shape[0]
+    max_local_kf = min(max_local_kf, m.K)    # small-capacity maps
+    max_local_pts = min(max_local_pts, P)
 
     # --- local keyframes by shared-point votes
     cur_pts = jnp.zeros((P,), bool).at[jnp.clip(obs, 0)].max(obs >= 0)
@@ -198,6 +200,77 @@ def track_local_map(cam: CameraModel, m: MapState, frame: Frame, R, t, obs,
     found_mask = (obs >= 0) & inlier
     mp_found = m.mp_found.at[ids].add(found_mask.astype(jnp.int32))
     return LocalMapTrack(R2, t2, obs, n, n_local_kf, mp_visible, mp_found)
+
+
+class RelocCandidates(NamedTuple):
+    """One fused relocalization dispatch over all candidates.
+
+    best_slot/best_score are scalars (host reads once); R/t/obs belong to
+    the best candidate and seed the track_local_map refinement.
+    """
+    best_slot: jnp.ndarray   # i32 (-1 = no candidate)
+    best_score: jnp.ndarray  # i32 PnP inliers of the winner
+    R: jnp.ndarray           # [3,3]
+    t: jnp.ndarray           # [3]
+    obs: jnp.ndarray         # [N] map-point ids from the winning match
+
+
+@jax.jit
+def relocalize_candidates(cam: CameraModel, m: MapState, frame: Frame,
+                          vocab, db_bows, key) -> RelocCandidates:
+    """Relocalization, device-batched (Tracking::Relocalization,
+    Tracking.cc:1462 + KeyFrameDatabase::DetectRelocalizationCandidates,
+    KeyFrameDatabase.cc:228).
+
+    The reference loops candidates on the CPU — BoW match, EPnP RANSAC,
+    pose optimization each — until one sticks.  Here ALL candidates run
+    as one vmapped program (descriptor match -> DLT-PnP RANSAC -> robust
+    LM polish), candidate scoring includes the covisibility-accumulated
+    BoW score the round-1 path skipped, and the host reads back one small
+    bundle.  The winner is then refined by ONE track_local_map call.
+    """
+    from ..solvers import pnp
+    from ..worldmap import vocabulary as voc
+    from ..worldmap import map_state as ms
+
+    N = frame.xy.shape[0]
+    bow = voc.bow_vector(vocab, frame.desc, frame.valid)
+    covis = ms.covisibility(m)
+    slots, ok = voc.detect_relocalization_candidates(
+        voc.KeyFrameDatabase(db_bows), bow, m.kf_valid, covis
+    )
+
+    def per_cand(i):
+        slot = slots[i]
+        obs_kf = m.kf_obs[slot]
+        has = (obs_kf >= 0) & m.kf_feat_valid[slot] & m.mp_valid[
+            jnp.clip(obs_kf, 0)]
+        cand_mask = has[:, None] & frame.valid[None, :]
+        res = matching.match_masked(
+            m.kf_desc[slot], frame.desc, cand_mask,
+            max_dist=matching.TH_LOW, ratio=0.75,
+        )
+        obs = jnp.full((N,), -1, jnp.int32).at[jnp.clip(res.idx, 0)].max(
+            jnp.where(res.matched, jnp.where(has, obs_kf, -1), -1)
+        )
+        pvalid = (obs >= 0) & frame.valid
+        n_matches = jnp.sum(pvalid)
+        r = pnp.pnp_ransac(
+            jax.random.fold_in(key, i), cam,
+            m.mp_pos[jnp.clip(obs, 0)], frame.xy, pvalid, min_inliers=15,
+        )
+        score = jnp.where(ok[i] & r.success & (n_matches >= 15),
+                          r.n_inliers, -1).astype(jnp.int32)
+        return score, r.R, r.t, obs
+
+    scores, Rs, ts, obss = jax.vmap(per_cand)(jnp.arange(slots.shape[0]))
+    best = jnp.argmax(scores)
+    found = scores[best] > 0
+    return RelocCandidates(
+        best_slot=jnp.where(found, slots[best], -1).astype(jnp.int32),
+        best_score=scores[best],
+        R=Rs[best], t=ts[best], obs=obss[best],
+    )
 
 
 class TrackStep(NamedTuple):

@@ -177,10 +177,14 @@ def schur_solve_dense(Hcc, Hpp, B, gc, gp, lam, cam_free_mask):
     cam_free_mask: [C] bool — cameras allowed to move.
     Returns (dc [C,6], dp [P,3]).
     """
+    from ..geometry.smallsolve import inv3
+
     C = Hcc.shape[0]
     Hcc_d = _damp_blocks(Hcc, lam)
     Hpp_d = _damp_blocks(Hpp, lam)
-    Hpp_inv = jnp.linalg.inv(Hpp_d + 1e-8 * jnp.eye(3))
+    # closed-form batched 3x3 inverse: jnp.linalg.inv lowers to batched
+    # LU, a scalar-sequential algorithm that dominates solve latency here
+    Hpp_inv = inv3(Hpp_d + 1e-8 * jnp.eye(3))
 
     # S = blockdiag(Hcc) - B Hpp^-1 B^T   (einsum over points -> [C,C,6,6])
     BH = jnp.einsum("pcij,pjk->pcik", B, Hpp_inv)  # [P,C,6,3]

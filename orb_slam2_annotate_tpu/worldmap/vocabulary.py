@@ -14,10 +14,13 @@ inverted file KeyFrameDatabase.cc).  TPU-first redesign:
 * Vocabulary centroids default to seeded random binary codes (which give
   a valid LSH-style quantizer); train_vocabulary() runs batched binary
   k-means (majority-bit medians) for dataset-adapted vocabularies, the
-  analog of DBoW2's offline k-medians training.
+  analog of DBoW2's offline k-medians training, and carries per-word IDF
+  weights measured on the training corpus (TemplatedVocabulary's TF_IDF
+  weighting, TemplatedVocabulary.h:1066-1218).
 
-Scoring is DBoW2's L1 score: s(v, w) = 1 - 0.5*|v/|v| - w/|w||_1
-(ScoringObject.cpp, used via ORBVocabulary at System.cc:64).
+Scoring is DBoW2's L1 score on L1-normalized TF-IDF vectors:
+s(v, w) = 1 - 0.5*|v/|v| - w/|w||_1 (ScoringObject.cpp, used via
+ORBVocabulary at System.cc:64).
 """
 
 from __future__ import annotations
@@ -32,31 +35,69 @@ import numpy as np
 from ..ops.hamming import hamming_pairwise
 
 
-def make_vocabulary(n_words: int = 4096, seed: int = 42) -> jnp.ndarray:
-    """Random binary vocabulary [W, 8] u32 (256-bit words)."""
+class Vocabulary(NamedTuple):
+    """Flat binary vocabulary with TF-IDF word weights.
+
+    words: [W, 8] u32 256-bit centroids
+    idf:   [W] f32 per-word inverse document frequency (all-ones for an
+           untrained/random vocabulary -> plain TF)
+    """
+
+    words: jnp.ndarray
+    idf: jnp.ndarray
+
+    @property
+    def n_words(self) -> int:
+        return self.words.shape[0]
+
+
+def _words_idf(vocab):
+    """Accept a Vocabulary or a bare [W,8] word array (legacy callers)."""
+    if isinstance(vocab, Vocabulary):
+        return vocab.words, vocab.idf
+    return vocab, None
+
+
+def make_vocabulary(n_words: int = 4096, seed: int = 42) -> Vocabulary:
+    """Random binary vocabulary (uniform IDF)."""
     rng = np.random.RandomState(seed)
-    return jnp.asarray(
+    words = jnp.asarray(
         rng.randint(0, 2**32, size=(n_words, 8), dtype=np.uint64).astype(np.uint32)
     )
+    return Vocabulary(words, jnp.ones((n_words,), jnp.float32))
+
+
+def save_vocabulary(path: str, vocab: Vocabulary):
+    np.savez(path, words=np.asarray(vocab.words), idf=np.asarray(vocab.idf))
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    z = np.load(path)
+    return Vocabulary(jnp.asarray(z["words"]), jnp.asarray(z["idf"]))
 
 
 @jax.jit
-def assign_words(vocab: jnp.ndarray, desc: jnp.ndarray, valid: jnp.ndarray):
+def assign_words(vocab, desc: jnp.ndarray, valid: jnp.ndarray):
     """Nearest vocabulary word per descriptor: [N] i32 (argmin Hamming)."""
-    d = hamming_pairwise(desc, vocab)  # [N, W]
+    words, _ = _words_idf(vocab)
+    d = hamming_pairwise(desc, words)  # [N, W]
     w = jnp.argmin(d, axis=1).astype(jnp.int32)
     return jnp.where(valid, w, -1)
 
 
 @jax.jit
-def bow_vector(vocab: jnp.ndarray, desc: jnp.ndarray, valid: jnp.ndarray):
-    """L1-normalized term-frequency BoW vector [W] f32."""
-    W = vocab.shape[0]
-    w = assign_words(vocab, desc, valid)
+def bow_vector(vocab, desc: jnp.ndarray, valid: jnp.ndarray):
+    """L1-normalized TF-IDF BoW vector [W] f32 (plain TF when the
+    vocabulary carries no IDF weights)."""
+    words, idf = _words_idf(vocab)
+    W = words.shape[0]
+    w = assign_words(words, desc, valid)
     counts = jnp.zeros((W,), jnp.float32).at[jnp.clip(w, 0)].add(
         valid.astype(jnp.float32)
     )
-    return counts / jnp.maximum(jnp.sum(counts), 1.0)
+    if idf is not None:
+        counts = counts * idf
+    return counts / jnp.maximum(jnp.sum(counts), 1e-9)
 
 
 @jax.jit
@@ -66,10 +107,13 @@ def l1_scores(bows: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def train_vocabulary(descs: np.ndarray, n_words: int = 4096, iters: int = 8,
-                     seed: int = 0) -> jnp.ndarray:
+                     seed: int = 0,
+                     doc_ids: np.ndarray | None = None) -> Vocabulary:
     """Batched binary k-means (majority-bit medians) over [M, 8] u32
     descriptors — the flat-TPU analog of DBoW2's hierarchical k-medians
-    training (TemplatedVocabulary::create)."""
+    training (TemplatedVocabulary::create) — plus corpus IDF weights
+    when per-descriptor document (image) ids are supplied
+    (TemplatedVocabulary::setNodeWeights semantics: idf = log(N/Ni))."""
     rng = np.random.RandomState(seed)
     M = descs.shape[0]
     centroids = jnp.asarray(descs[rng.choice(M, n_words, replace=M < n_words)])
@@ -79,6 +123,7 @@ def train_vocabulary(descs: np.ndarray, n_words: int = 4096, iters: int = 8,
         jnp.asarray(descs).view(jnp.uint8), axis=-1, bitorder="little"
     ).reshape(M, 256)
 
+    assign = None
     for _ in range(iters):
         dist = hamming_pairwise(d, centroids)  # [M, W]
         assign = jnp.argmin(dist, axis=1)
@@ -91,7 +136,21 @@ def train_vocabulary(descs: np.ndarray, n_words: int = 4096, iters: int = 8,
         packed = jnp.packbits(maj, axis=-1, bitorder="little").view(jnp.uint32)
         # keep old centroid for empty clusters
         centroids = jnp.where((count > 0)[:, None], packed, centroids)
-    return centroids
+
+    idf = np.ones((n_words,), np.float32)
+    if doc_ids is not None and assign is not None:
+        # re-assign against the final centroids, then document frequency
+        final = np.asarray(
+            jnp.argmin(hamming_pairwise(d, centroids), axis=1))
+        doc_ids = np.asarray(doc_ids)
+        n_docs = int(doc_ids.max()) + 1
+        df = np.zeros((n_words,), np.int64)
+        pairs = np.unique(np.stack([final, doc_ids], 1), axis=0)
+        np.add.at(df, pairs[:, 0], 1)
+        # DBoW2: words seen in every (or no) document carry ~no information
+        idf = np.log(n_docs / np.maximum(df, 1)).astype(np.float32)
+        idf = np.where(df == 0, 0.0, idf)
+    return Vocabulary(centroids, jnp.asarray(idf))
 
 
 class KeyFrameDatabase(NamedTuple):

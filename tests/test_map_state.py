@@ -98,3 +98,39 @@ def test_update_mappoint_stats_descriptor_median():
     assert float(m2.mp_min_dist[0]) < 5.0 < float(m2.mp_max_dist[0]) + 1e-3
     # point with no observations gets invalidated
     assert not bool(m2.mp_valid[1])
+
+
+def test_observation_table_overflow_keeps_first_max_obs():
+    """A point observed by more keyframes than MAX_OBS must keep exactly
+    MAX_OBS observations (earliest (k, n) order) and still produce sane
+    stats — no aliasing, no silent corruption (r1 weak item 8)."""
+    import jax.numpy as jnp
+    from orb_slam2_annotate_tpu.worldmap import map_state as ms
+
+    K, P, N = ms.MAX_OBS + 8, 16, 8
+    m = ms.empty_map(K, P, N)
+    # every keyframe observes point 0 at feature 0
+    for k in range(K):
+        m = ms.insert_keyframe(
+            m, jnp.asarray(k), jnp.eye(3),
+            jnp.asarray([0.01 * k, 0.0, 0.0]), k, float(k),
+            jnp.ones((N, 2)) * 10, jnp.full((N,), -1.0), jnp.zeros((N,)),
+            jnp.zeros((N,), jnp.int32), jnp.zeros((N,)),
+            jnp.full((N, 8), k + 1, jnp.uint32), jnp.ones((N,), bool),
+            jnp.zeros((N,), jnp.int32),  # all features -> point 0
+        )
+    m = m._replace(mp_valid=m.mp_valid.at[0].set(True),
+                   mp_pos=m.mp_pos.at[0].set(jnp.asarray([0., 0., 5.])))
+
+    obs_kf, obs_ft, obs_cnt, obs_mask = ms.observation_table(m)
+    # K*N observations of point 0 exist; the table keeps MAX_OBS
+    assert int(obs_cnt[0]) == ms.MAX_OBS
+    assert bool(obs_mask[0].all())
+    # kept observations are the earliest (k, n) pairs: keyframe 0..3
+    kept_kf = np.asarray(obs_kf[0])
+    assert kept_kf.min() == 0 and (kept_kf <= ms.MAX_OBS // N).all()
+
+    m2 = ms.update_mappoint_stats(m)
+    assert bool(m2.mp_valid[0])
+    assert np.isfinite(np.asarray(m2.mp_normal[0])).all()
+    assert float(m2.mp_min_dist[0]) > 0
