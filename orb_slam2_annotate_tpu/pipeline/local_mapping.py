@@ -549,10 +549,13 @@ def local_bundle_adjustment(m: ms.MapState, cam: CameraModel, slot,
         inv_sigma2=_inv_sigma2(octv), edge_valid=e_valid,
     )
     # robust iters, outlier re-mask, more iters (the reference's 5-then-10
-    # schedule, Optimizer.cc:668-704)
-    R1, t1, X1, inl1, _ = ba_core.bundle_adjust_grid(cam, prob, iters=7, robust=True)
+    # schedule, Optimizer.cc:668-704 — here 5+8: each of our iterations
+    # retries 3 damping values per linearization, so 13 linearizations
+    # make at least as much progress as g2o's 15 solver iterations, and
+    # local BA is the throughput ceiling of the whole keyframe chain)
+    R1, t1, X1, inl1, _ = ba_core.bundle_adjust_grid(cam, prob, iters=5, robust=True)
     prob2 = prob._replace(R=R1, t=t1, points=X1, edge_valid=e_valid & inl1)
-    R2, t2, X2, inl2, cost = ba_core.bundle_adjust_grid(cam, prob2, iters=10, robust=True)
+    R2, t2, X2, inl2, cost = ba_core.bundle_adjust_grid(cam, prob2, iters=8, robust=True)
     ev = e_valid.reshape(-1)
     inl2 = inl2.reshape(-1)
 
@@ -600,32 +603,44 @@ def cull_keyframes(m: ms.MapState, protect_slot,
     a local keyframe whose map points are >= 90% observed by at least 3
     OTHER keyframes at the same or finer scale is dropped.
 
-    TPU shape: the per-point observation table gives each observation's
-    octave; one gather per (keyframe-feature, observer) pair counts
-    redundant observations.  At most `max_cull` keyframes are removed per
-    call (newest keyframes and the protected slot are exempt).
+    Candidates are restricted to the covisible window of `protect_slot`
+    (the reference iterates mpCurrentKeyFrame->GetVectorCovisibleKeyFrames
+    only, LocalMapping.cc:712), which keeps the redundancy gather at
+    [C_WIN, N, MAX_OBS] instead of [K, N, MAX_OBS] as the map grows.
+    At most `max_cull` keyframes are removed per call (newest keyframes
+    and the protected slot are exempt).
     """
     K, P, N = m.K, m.P, m.N
+    C_WIN = min(24, K)
     obs_kf, obs_ft, obs_cnt, obs_mask = ms.observation_table(m)
     obs_oct = m.kf_octave[obs_kf, obs_ft]  # [P, MAX_OBS]
 
-    # for every (k, n): its point's observers at octave <= oct(k,n)+1,
-    # excluding k itself
-    pid = jnp.clip(m.kf_obs, 0)                          # [K, N]
-    has = (m.kf_obs >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
-    oct_kn = m.kf_octave                                  # [K, N]
-    # gather per-point observer tables for each (k, n): [K, N, MAX_OBS]
+    W = ms.covisibility(m)
+    w_slot = jnp.where(m.kf_valid, W[protect_slot], -1)
+    w_slot = w_slot.at[protect_slot].set(-1)
+    _, win = jax.lax.top_k(w_slot, C_WIN)                 # [C_WIN] slots
+    win_ok = w_slot[win] > 0
+
+    # for every (c, n) of the window: its point's observers at octave
+    # <= oct(c,n)+1, excluding the window keyframe itself
+    pid = jnp.clip(m.kf_obs[win], 0)                      # [C_WIN, N]
+    has = (m.kf_obs[win] >= 0) & m.kf_feat_valid[win] & win_ok[:, None]
+    oct_kn = m.kf_octave[win]                             # [C_WIN, N]
+    # gather per-point observer tables: [C_WIN, N, MAX_OBS]
     o_kf = obs_kf[pid]
     o_oct = obs_oct[pid]
     o_msk = obs_mask[pid]
     fine = o_msk & (o_oct <= oct_kn[..., None] + 1) & (
-        o_kf != jnp.arange(K)[:, None, None]
+        o_kf != win[:, None, None]
     )
-    n_redundant = jnp.sum(fine, axis=-1)                  # [K, N]
+    n_redundant = jnp.sum(fine, axis=-1)                  # [C_WIN, N]
     red = has & (n_redundant >= 3)
     n_obs_kf = jnp.sum(has, axis=1)
     n_red_kf = jnp.sum(red, axis=1)
-    ratio = n_red_kf / jnp.maximum(n_obs_kf, 1)
+    ratio_win = n_red_kf / jnp.maximum(n_obs_kf, 1)       # [C_WIN]
+    # scatter window ratios back to [K] (invalid window slots -> dump row)
+    ratio = jnp.zeros((K + 1,)).at[
+        jnp.where(win_ok, win, K)].set(ratio_win)[:K]
 
     # protect: invalid slots, the newest 3 keyframes, the protected slot
     fid = m.kf_frame_id

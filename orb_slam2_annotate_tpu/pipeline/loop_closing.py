@@ -23,12 +23,22 @@ System calls `on_keyframe` after local mapping — detection costs one
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# diagnostic tracing of the detection/acceptance funnel (why did a loop
+# (not) close?) — set ORBTPU_LOOP_TRACE=1
+_TRACE = bool(int(os.environ.get("ORBTPU_LOOP_TRACE", "0")))
+
+
+def _trace(msg: str):
+    if _TRACE:
+        print(f"  [loop-trace] {msg}", flush=True)
 
 from ..geometry import lie
 from ..geometry.camera import CameraModel, in_image
@@ -92,9 +102,9 @@ def detect_loop_device(vocab, db_bows, m: ms.MapState, slot,
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("radius_scale",))
 def sim3_guided_match(cam: CameraModel, m: ms.MapState, slot, cand,
-                      s12, R12, t12):
+                      s12, R12, t12, radius_scale: float = 1.0):
     """SearchBySim3 (ORBmatcher.cc:1251): project each keyframe's map
     points through the RANSAC Sim3 into the other image and match by
     descriptor inside a scale-predicted window; keep mutually-agreeing
@@ -102,22 +112,30 @@ def sim3_guided_match(cam: CameraModel, m: ms.MapState, slot, cand,
     features -> cand features (-1 = none)."""
     N = m.N
     obs1, obs2 = m.kf_obs[slot], m.kf_obs[cand]
-    has1 = (obs1 >= 0) & m.kf_feat_valid[slot] & m.mp_valid[jnp.clip(obs1, 0)]
-    has2 = (obs2 >= 0) & m.kf_feat_valid[cand] & m.mp_valid[jnp.clip(obs2, 0)]
+    mp1 = jnp.clip(obs1, 0)
+    mp2 = jnp.clip(obs2, 0)
+    has1 = (obs1 >= 0) & m.kf_feat_valid[slot] & m.mp_valid[mp1]
+    has2 = (obs2 >= 0) & m.kf_feat_valid[cand] & m.mp_valid[mp2]
     # camera-frame point coordinates on each side
-    x1 = m.mp_pos[jnp.clip(obs1, 0)] @ m.kf_R[slot].T + m.kf_t[slot]
-    x2 = m.mp_pos[jnp.clip(obs2, 0)] @ m.kf_R[cand].T + m.kf_t[cand]
+    x1 = m.mp_pos[mp1] @ m.kf_R[slot].T + m.kf_t[slot]
+    x2 = m.mp_pos[mp2] @ m.kf_R[cand].T + m.kf_t[cand]
+    top_oct = jnp.max(jnp.where(m.kf_feat_valid, m.kf_octave, 0))
 
-    def win_match(y, src_has, src_desc, dst_xy, dst_oct, dst_valid, dst_desc):
+    def win_match(y, src_has, src_maxd, src_desc,
+                  dst_xy, dst_oct, dst_valid, dst_desc):
         """Project src camera points y -> dst image, window match."""
         z = jnp.maximum(y[:, 2], 1e-6)
         uv = jnp.stack([cam.fx * y[:, 0] / z + cam.cx,
                         cam.fy * y[:, 1] / z + cam.cy], 1)
+        # scale prediction from each point's OWN invariance band
+        # (GetMaxDistanceInvariance, ORBmatcher.cc:1320-1334), clipped to
+        # the pyramid's actual top level (PredictScale, MapPoint.cc:449)
         dist = jnp.linalg.norm(y, axis=1)
-        ratio = jnp.maximum(8.0 / jnp.maximum(dist, 1e-9), 1.0)
+        ratio = jnp.maximum(src_maxd / jnp.maximum(dist, 1e-9), 1.0)
         pred_oct = jnp.clip(
-            jnp.ceil(jnp.log(ratio) / jnp.log(1.2)).astype(jnp.int32), 0, 7)
-        radius = 7.5 * (1.2 ** pred_oct.astype(jnp.float32))
+            jnp.ceil(jnp.log(ratio) / jnp.log(1.2)).astype(jnp.int32),
+            0, top_oct)
+        radius = radius_scale * 7.5 * (1.2 ** pred_oct.astype(jnp.float32))
         ok = src_has & (y[:, 2] > 0.05)
         cand_mask = matching.window_mask(uv, dst_xy, radius)
         cand_mask &= matching.octave_mask(pred_oct, dst_oct, -1, 1)
@@ -126,15 +144,18 @@ def sim3_guided_match(cam: CameraModel, m: ms.MapState, slot, cand,
                                     max_dist=matching.TH_HIGH, ratio=1.0)
         return res.idx
 
-    # cand pts -> slot image via S12
+    # cand pts -> slot image via S12 (the projected distance changes by
+    # the Sim3 scale, so the invariance band must scale with it too)
     y1 = s12 * (x2 @ R12.T) + t12
-    idx_c2s = win_match(y1, has2, m.kf_desc[cand], m.kf_xy[slot],
+    idx_c2s = win_match(y1, has2, s12 * m.mp_max_dist[mp2],
+                        m.kf_desc[cand], m.kf_xy[slot],
                         m.kf_octave[slot], m.kf_feat_valid[slot],
                         m.kf_desc[slot])
     # slot pts -> cand image via S12^-1
     si, Ri, ti = lie.sim3_inverse(s12, R12, t12)
     y2 = si * (x1 @ Ri.T) + ti
-    idx_s2c = win_match(y2, has1, m.kf_desc[slot], m.kf_xy[cand],
+    idx_s2c = win_match(y2, has1, si * m.mp_max_dist[mp1],
+                        m.kf_desc[slot], m.kf_xy[cand],
                         m.kf_octave[cand], m.kf_feat_valid[cand],
                         m.kf_desc[cand])
     # mutual agreement: slot i -> cand j and cand j -> slot i
@@ -170,19 +191,26 @@ def loop_projection_count(cam: CameraModel, m: ms.MapState, slot, cand,
                     cam.fy * xc[:, 1] / z + cam.cy], 1)
     okp = loop_pts & (xc[:, 2] > 0.05) & in_image(cam, uv)
     dist = jnp.linalg.norm(xc, axis=1)
+    top_oct = jnp.max(jnp.where(m.kf_feat_valid, m.kf_octave, 0))
     ratio = jnp.maximum(m.mp_max_dist / jnp.maximum(dist, 1e-9), 1.0)
     pred_oct = jnp.clip(
-        jnp.ceil(jnp.log(ratio) / jnp.log(1.2)).astype(jnp.int32), 0, 7)
+        jnp.ceil(jnp.log(ratio) / jnp.log(1.2)).astype(jnp.int32),
+        0, top_oct)
 
     MAXC = min(2048, P)
     _, cnd = jax.lax.top_k(okp.astype(jnp.int32), MAXC)
     cvalid = okp[cnd]
-    radius = 10.0 * (1.2 ** pred_oct[cnd].astype(jnp.float32))
+    # wider window + mid descriptor gate than the reference's th=10 /
+    # TH_LOW: the Sim3 at this point is seeded from drifted maps, so true
+    # projections land tens of px off; the pair-set RANSAC verification
+    # downstream rejects the lookalikes this lets through
+    radius = 20.0 * (1.2 ** pred_oct[cnd].astype(jnp.float32))
     cand_mask = matching.window_mask(uv[cnd], m.kf_xy[slot], radius)
     cand_mask &= matching.octave_mask(pred_oct[cnd], m.kf_octave[slot], -1, 1)
     cand_mask &= cvalid[:, None] & m.kf_feat_valid[slot][None, :]
-    res = matching.match_masked(m.mp_desc[cnd], m.kf_desc[slot], cand_mask,
-                                max_dist=matching.TH_LOW, ratio=1.0)
+    res = matching.match_masked(
+        m.mp_desc[cnd], m.kf_desc[slot], cand_mask,
+        max_dist=(matching.TH_LOW + matching.TH_HIGH) // 2, ratio=1.0)
     tgt = jnp.clip(res.idx, 0)
     feat_pt = jnp.full((N,), -1, jnp.int32).at[tgt].max(
         jnp.where(res.matched, cnd.astype(jnp.int32), -1))
@@ -249,8 +277,42 @@ def fold_gba_device(m: ms.MapState, gba_R, gba_t, gba_X,
 class LoopCloserConfig:
     n_words: int = 4096
     consistency_th: int = 3       # consecutive-KF consistency (LoopClosing.cc:44)
-    min_ransac_inliers: int = 20
-    min_total_matches: int = 40
+    min_seed_matches: int = 15    # entry gate before Sim3 RANSAC
+    min_seed_inliers: int = 6     # RANSAC inliers to SEED the guided pass
+                                  # (3 determine a Sim3; verification is
+                                  # the optimize + projection gates below)
+    seed_hyp: int = 1024          # Sim3 RANSAC hypotheses (vmapped — a
+                                  # 1024-wide batch is as cheap as 128 on
+                                  # the TPU, and entry matches are noisy)
+    seed_th_chi2: float = 100.0   # seed inlier gate (~10 px): accumulated
+                                  # drift leaves true loop pairs far from
+                                  # the 3 px the reference uses on its
+                                  # internally-consistent maps
+    verify_th_chi2: float = 100.0  # final pair-set verification gate
+                                  # (~10 px: bounded by the maps' own
+                                  # internal consistency, not feature
+                                  # localization)
+    # drift-plausibility budget for the implied correction (see
+    # _drift_plausible): fractions of the rotation/path accumulated
+    # between the candidate and the current keyframe
+    drift_rot_frac: float = 0.25
+    drift_rot_abs: float = 0.12   # ~7deg floor
+    drift_trans_frac: float = 0.35
+    drift_log_scale_max: float = 0.5
+    min_ransac_inliers: int = 12  # final pair-set geometric inliers
+                                  # (the reference's OptimizeSim3 caller
+                                  # gate of 20, LoopClosing.cc:391,
+                                  # scaled like min_total_matches: a
+                                  # 512-feature KF carries ~120-240
+                                  # mapped features vs the reference's
+                                  # ~1000)
+    min_total_matches: int = 25   # loop-neighborhood projection matches
+                                  # (reference: 40 at ~1000 features/KF,
+                                  # LoopClosing.cc:449 — scaled to the
+                                  # 512-feature configs this runs at)
+    max_sim3_candidates: int = 5  # Sim3 attempts per keyframe (the
+                                  # reference tries every consistent
+                                  # candidate, LoopClosing.cc:305)
     fix_scale: bool = False       # True for stereo/RGBD
     pose_graph_iters: int = 15
     gap_kf: int = 3               # candidate must be >= this many KFs old
@@ -334,31 +396,50 @@ class LoopCloser:
         covrows = np.asarray(det.cand_covis)  # [8, K]
         cands = [(int(s), covrows[i]) for i, (s, o)
                  in enumerate(zip(cands_np, ok_np)) if o]
+        if _TRACE and cands:
+            _trace(f"kf slot {slot} (n_kf={int(m.n_kf)}): candidates "
+                   f"{[c for c, _ in cands]} streaks={self._streaks}")
 
         # --- covisibility-consistency streaks (simplified groups: a
         # candidate is consistent with a previous detection if it is the
         # same slot or covisible with one)
         new_streaks: dict[int, int] = {}
-        confirmed = None
+        confirmed: list[int] = []
         for c, wrow in cands:
             streak = 1
             for prev, n in self._streaks.items():
                 if prev == c or wrow[prev] > 0:
                     streak = max(streak, n + 1)
             new_streaks[c] = streak
-            if streak >= cfg.consistency_th and confirmed is None:
-                confirmed = c
+            if streak >= cfg.consistency_th:
+                confirmed.append(c)
         self._streaks = new_streaks
-        if confirmed is None:
+        if not confirmed:
             return m, False
 
-        # --- Sim3 between slot and confirmed candidate
-        res = self._compute_sim3(m, slot, confirmed)
+        # --- Sim3: try EVERY consistent candidate (the reference iterates
+        # mvpEnoughConsistentCandidates and accepts the first that passes
+        # ComputeSim3, LoopClosing.cc:286-449) — a single borderline
+        # candidate must not mask a good one ranked behind it.  Candidates
+        # arrive BoW-score-ranked from detection; cap the attempts to
+        # bound per-keyframe work.
+        res, matched_cand = None, -1
+        for c in confirmed[:cfg.max_sim3_candidates]:
+            _trace(f"kf slot {slot}: candidate {c} confirmed "
+                   f"(streak >= {cfg.consistency_th}), computing Sim3")
+            res = self._compute_sim3(m, slot, c)
+            if res is not None and not self._drift_plausible(
+                    m, slot, c, *res):
+                _trace("sim3 reject: correction exceeds the drift budget")
+                res = None
+            if res is not None:
+                matched_cand = c
+                break
         if res is None:
             return m, False
         s12, R12, t12 = res  # maps candidate-camera coords -> slot-camera
 
-        m = self._correct_loop(m, slot, confirmed, s12, R12, t12)
+        m = self._correct_loop(m, slot, matched_cand, s12, R12, t12)
         self._streaks = {}
         self.n_loops_closed += 1
         self._last_loop_kf = int(m.n_kf)
@@ -371,6 +452,59 @@ class LoopCloser:
         return self.resolve_detection(m, int(slot), det)
 
     # ------------------------------------------------------------------
+
+    def _drift_plausible(self, m: ms.MapState, slot: int, cand: int,
+                         s12, R12, t12) -> bool:
+        """Reject loop corrections larger than the odometry could have
+        drifted.  A TRUE closure corrects the residual drift accumulated
+        between the candidate and the current keyframe — a few percent of
+        the traveled rotation/path; a FALSE one (a lookalike in another
+        part of the scene) implies the odometry teleported.  The
+        reference leans on distinctive ORB + covisibility consistency to
+        suppress these; with weaker appearance signal the geometric
+        budget is the robust discriminator (standard loop-edge chi2
+        gating against an odometry drift model).
+        """
+        kf_valid = np.asarray(m.kf_valid)
+        fid = np.asarray(m.kf_frame_id)
+        R_all = np.asarray(m.kf_R)
+        t_all = np.asarray(m.kf_t)
+        f_lo, f_hi = fid[cand], fid[slot]
+        ids = [int(g) for g in np.nonzero(kf_valid)[0]
+               if f_lo <= fid[g] <= f_hi]
+        ids.sort(key=lambda g: fid[g])
+        if len(ids) < 2:
+            return False
+        acc_rot, acc_tr = 0.0, 0.0
+        for a, b in zip(ids[:-1], ids[1:]):
+            dR = R_all[b] @ R_all[a].T
+            acc_rot += abs(float(np.arccos(
+                np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0))))
+            ca = -R_all[a].T @ t_all[a]
+            cb = -R_all[b].T @ t_all[b]
+            acc_tr += float(np.linalg.norm(cb - ca))
+        # corrected slot pose: S_corr = S12 o S_cand; SE3 = [R, t/s]
+        s_c, R_c, t_c = lie.sim3_compose(
+            jnp.asarray(s12), jnp.asarray(R12), jnp.asarray(t12),
+            jnp.ones(()), jnp.asarray(R_all[cand]), jnp.asarray(t_all[cand]))
+        R_c = np.asarray(R_c)
+        c_new = -R_c.T @ (np.asarray(t_c) / float(s_c))
+        c_old = -R_all[slot].T @ t_all[slot]
+        dR = R_c @ R_all[slot].T
+        rot_corr = abs(float(np.arccos(
+            np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0))))
+        tr_corr = float(np.linalg.norm(c_new - c_old))
+        cfg = self.cfg
+        ok = (rot_corr <= cfg.drift_rot_frac * acc_rot + cfg.drift_rot_abs
+              and tr_corr <= cfg.drift_trans_frac * acc_tr
+              and abs(float(np.log(max(float(s12), 1e-9))))
+              <= cfg.drift_log_scale_max)
+        if not ok:
+            _trace(f"  drift check: rot_corr={np.degrees(rot_corr):.1f}deg "
+                   f"(budget {np.degrees(cfg.drift_rot_frac * acc_rot + cfg.drift_rot_abs):.1f}), "
+                   f"trans_corr={tr_corr:.3f} (budget "
+                   f"{cfg.drift_trans_frac * acc_tr:.3f}), s={float(s12):.3f}")
+        return ok
 
     def _compute_sim3(self, m: ms.MapState, slot: int, cand: int):
         """Full ComputeSim3 pipeline (LoopClosing.cc:286-449): brute
@@ -386,12 +520,26 @@ class LoopCloser:
         has2 = (obs2 >= 0) & m.kf_feat_valid[cand] & m.mp_valid[jnp.clip(obs2, 0)]
 
         cand_mask = has1[:, None] & has2[None, :]
+        # one-directional best+ratio like the reference's SearchByBoW
+        # (ORBmatcher.cc:610-754), but with a LOOSER ratio than the
+        # reference's 0.75: this entry gate (>= 20 matches) is the
+        # narrowest point of the whole loop funnel, and on self-similar
+        # texture the strict ratio kills true matches whose runner-up is
+        # a lookalike.  Verification safety comes from the downstream
+        # gates (Sim3 RANSAC inliers, OptimizeSim3 chi2 inliers, and the
+        # >= 40 loop-neighborhood projection acceptance), not from entry
+        # match purity.
         res = matching.match_masked(
             m.kf_desc[slot], m.kf_desc[cand], cand_mask,
-            max_dist=matching.TH_LOW, ratio=0.75, mutual=True,
+            max_dist=matching.TH_LOW, ratio=0.92, mutual=False,
         )
         n_matches = int(res.count)
-        if n_matches < cfg.min_ransac_inliers:
+        if _TRACE:
+            _trace(f"  entry: has1={int(jnp.sum(has1))} "
+                   f"has2={int(jnp.sum(has2))} matches={n_matches}")
+        if n_matches < cfg.min_seed_matches:
+            _trace(f"sim3 reject: {n_matches} brute matches "
+                   f"< {cfg.min_seed_matches}")
             return None
 
         def gather_pairs(idx):
@@ -410,32 +558,90 @@ class LoopCloser:
         x1, x2, uv1, uv2, valid = gather_pairs(res.idx)
         r = sim3_solver.sim3_ransac(
             jax.random.PRNGKey(int(m.n_kf)), self.cam,
-            x2, x1, uv2, uv1, 128, cfg.fix_scale, valid=valid,
+            x2, x1, uv2, uv1, cfg.seed_hyp, cfg.fix_scale, valid=valid,
+            th_chi2=cfg.seed_th_chi2, min_inliers=cfg.min_seed_inliers,
         )
-        if not bool(r.success) or int(r.n_inliers) < cfg.min_ransac_inliers:
+        if not bool(r.success):
+            _trace(f"sim3 reject: RANSAC seed inliers="
+                   f"{int(r.n_inliers)} < {cfg.min_seed_inliers} "
+                   f"(from {n_matches} matches)")
             return None
 
         # guided SearchBySim3 pass extends the match set using the
-        # RANSAC Sim3, then OptimizeSim3 refines on the union
-        g_idx = sim3_guided_match(self.cam, m, jnp.asarray(slot),
-                                  jnp.asarray(cand), r.s, r.R, r.t)
-        merged = jnp.where(res.idx >= 0, res.idx, g_idx)
-        x1, x2, uv1, uv2, valid = gather_pairs(merged)
-        r2 = sim3_solver.optimize_sim3(
-            self.cam, r.s, r.R, r.t, x2, x1, uv2, uv1,
-            cfg.fix_scale, valid=valid,
-        )
-        if int(r2.n_inliers) < cfg.min_ransac_inliers:
+        # RANSAC Sim3, then OptimizeSim3 refines on the union.  Keep only
+        # the RANSAC-INLIER brute matches (the loose entry ratio means
+        # raw brute matches are noisy); everything else comes from the
+        # geometrically-gated guided pass.
+        seed_idx = jnp.where((res.idx >= 0) & r.inliers, res.idx, -1)
+        s_k, R_k, t_k = r.s, r.R, r.t
+        r2 = None
+        # two guided+optimize rounds: the first seed Sim3 (from ~8-10
+        # RANSAC inliers) is rough, so its guided windows miss most true
+        # matches; re-searching with the optimized Sim3 recovers them
+        # (the reference gets away with one round only because its seed
+        # comes from 20+ inliers, LoopClosing.cc:391-449)
+        for it in range(2):
+            # wide search first (the seed Sim3 from ~8-10 inliers carries
+            # tens of px of reprojection error), tight after refinement
+            g_idx = sim3_guided_match(self.cam, m, jnp.asarray(slot),
+                                      jnp.asarray(cand), s_k, R_k, t_k,
+                                      radius_scale=(3.0 if it == 0 else 1.5))
+            merged = jnp.where(seed_idx >= 0, seed_idx, g_idx)
+            x1, x2, uv1, uv2, valid = gather_pairs(merged)
+            r2 = sim3_solver.optimize_sim3(
+                self.cam, s_k, R_k, t_k, x2, x1, uv2, uv1,
+                cfg.fix_scale, valid=valid, chi2_th=cfg.seed_th_chi2,
+            )
+            _trace(f"  round {it}: s={float(s_k):.3f} guided="
+                   f"{int(jnp.sum(g_idx >= 0))} merged="
+                   f"{int(jnp.sum(merged >= 0))} opt_inl={int(r2.n_inliers)}")
+            # keep the refinement only while it stays sane (on very few
+            # pairs OptimizeSim3 can collapse the scale)
+            if int(r2.n_inliers) >= cfg.min_seed_inliers:
+                s_k, R_k, t_k = r2.s, r2.R, r2.t
+
+        # acceptance stage 1: project the loop NEIGHBORHOOD's points into
+        # the current keyframe at its corrected pose; require >= 40
+        # matches (SearchByProjection with Scw + LoopClosing.cc:449)
+        n_proj, feat_pt = loop_projection_count(
+            self.cam, m, jnp.asarray(slot), jnp.asarray(cand),
+            s_k, R_k, t_k)
+        if int(n_proj) < cfg.min_total_matches:
+            _trace(f"sim3 reject: {int(n_proj)} loop-neighborhood "
+                   f"projections < {cfg.min_total_matches}")
             return None
 
-        # acceptance: project the loop neighborhood's points into the
-        # current keyframe at its corrected pose; require >= 40 matches
-        n_proj, _ = loop_projection_count(
-            self.cam, m, jnp.asarray(slot), jnp.asarray(cand),
-            r2.s, r2.R, r2.t)
-        if int(n_proj) < cfg.min_total_matches:
+        # acceptance stage 2 + final refinement: the projection matches
+        # pair each slot feature's OWN map point with the loop point it
+        # matched — exactly the duplicate-landmark pairs SearchAndFuse
+        # will merge.  Re-estimate the Sim3 on those 3D-3D pairs with the
+        # full RANSAC + weighted-Horn refinement and require the
+        # reference's >= 20 inlier gate there.  This replaces the
+        # reference's OptimizeSim3-on-pair-matches verification
+        # (Optimizer.cc:1116): the neighborhood pair set is an order of
+        # magnitude larger than what descriptor matching between the two
+        # keyframes alone can produce on low-distinctiveness texture.
+        pair_ok = (feat_pt >= 0) & has1
+        x1p = m.mp_pos[jnp.clip(obs1, 0)] @ m.kf_R[slot].T + m.kf_t[slot]
+        x2p = (m.mp_pos[jnp.clip(feat_pt, 0)] @ m.kf_R[cand].T
+               + m.kf_t[cand])
+        z2 = jnp.maximum(x2p[:, 2], 1e-6)
+        uv2p = jnp.stack(
+            [self.cam.fx * x2p[:, 0] / z2 + self.cam.cx,
+             self.cam.fy * x2p[:, 1] / z2 + self.cam.cy], 1)
+        r3 = sim3_solver.sim3_ransac(
+            jax.random.PRNGKey(int(m.n_kf) + 1), self.cam,
+            x2p, x1p, uv2p, m.kf_xy[slot], cfg.seed_hyp, cfg.fix_scale,
+            valid=pair_ok, th_chi2=cfg.verify_th_chi2,
+            min_inliers=cfg.min_ransac_inliers,
+        )
+        if not bool(r3.success):
+            _trace(f"sim3 reject: final pair-set inliers="
+                   f"{int(r3.n_inliers)} < {cfg.min_ransac_inliers}")
             return None
-        return float(r2.s), r2.R, r2.t
+        _trace(f"sim3 ACCEPT: s={float(r3.s):.4f} proj={int(n_proj)} "
+               f"pair_inl={int(r3.n_inliers)}")
+        return float(r3.s), r3.R, r3.t
 
     # ------------------------------------------------------------------
 

@@ -141,6 +141,86 @@ class System:
     # public API (System.h:62-123 equivalents)
     # ------------------------------------------------------------------
 
+    def warmup(self):
+        """Compile AND execute every device program the steady-state
+        pipeline can reach, then restore the (empty) map state.
+
+        The reference never JIT-compiles, so it has no frame-37 stall; a
+        compiled-graph runtime must precompile to honor the real-time
+        budget.  On the axon remote-TPU runtime a program additionally
+        pays a one-time executable-load cost at FIRST EXECUTION (~0.5-3 s
+        for the big mapping programs — measured, see RESULTS.md), so this
+        executes each program on throwaway inputs rather than just
+        tracing it.  Call once before the frame loop.
+        """
+        snap = (self.map, self.state, self.frame_id, self.last_frame,
+                self.last_obs, self.R, self.t, self.vel, self.ref_kf,
+                self.last_kf_frame, self._kf_valid_host.copy())
+        db_snap = self.loop_closer.db if self.loop_closer is not None else None
+        try:
+            cam, cfg = self.cam, self.cfg
+            img = np.zeros((int(cam.height), int(cam.width)), np.uint8)
+            has_depth = cfg.sensor in ("stereo", "rgbd")
+            if cfg.sensor == "stereo":
+                frame = make_frame_stereo(self._upload(img), self._upload(img),
+                                          cam, cfg.extractor)
+            elif cfg.sensor == "rgbd":
+                dep = jnp.asarray(np.ones((int(cam.height), int(cam.width)),
+                                          np.float32))
+                frame = make_frame_rgbd(self._upload(img), dep, cam,
+                                        cfg.extractor)
+            else:
+                frame = make_frame_mono(self._upload(img), cam, cfg.extractor)
+            obs0 = jnp.full((frame.xy.shape[0],), -1, jnp.int32)
+            # fused tracking step (the exact dispatch _track/_track_async use)
+            step = tk.track_frame(
+                self.cam, self.map, frame, frame, obs0,
+                self.R, self.t, jnp.eye(3), jnp.zeros(3),
+                jnp.asarray(False), jnp.asarray(self.ref_kf, jnp.int32),
+            )
+            np.asarray(step.stats)
+            # keyframe chain, exactly as _create_keyframe dispatches it
+            m, _ = lm.insert_keyframe_from_frame(
+                self.map, frame, step.R, step.t, step.obs, 0, 0.0,
+                update_stats=False)
+            if has_depth:
+                baseline = float(cam.bf) / float(cam.fx)
+                m = lm.create_depth_mappoints(
+                    m, cam, 0, cfg.th_depth * baseline, update_stats=False)
+            m = lm.cull_recent_mappoints(m)
+            m = lm.create_new_mappoints(m, cam, 0,
+                                        update_stats=cfg.enable_fuse)
+            if cfg.enable_fuse:
+                m = lm.fuse_neighbors(m, cam, 0, update_stats=False)
+            if cfg.enable_local_ba:
+                out = lm.local_bundle_adjustment(m, cam, 0,
+                                                 update_stats=False)
+                m = out.map
+            if cfg.enable_kf_culling:
+                m, cull_info = lm.cull_keyframes(m, jnp.asarray(0),
+                                                 update_stats=False)
+                np.asarray(cull_info.ok)
+            m = ms.update_mappoint_stats_touched(
+                m, lm.window_touched_points(m, 0))
+            if self.loop_closer is not None:
+                det = self.loop_closer.dispatch_detection(m, 0)
+                np.asarray(det.ok)
+                # batched relocalization program
+                cand = tk.relocalize_candidates(
+                    cam, m, frame, self.loop_closer.vocab,
+                    self.loop_closer.db.bows, jax.random.PRNGKey(0))
+                np.asarray(cand.best_slot)
+                res2 = tk.track_local_map(cam, m, frame,
+                                          cand.R, cand.t, cand.obs)
+                np.asarray(res2.n_inliers)
+            jax.block_until_ready(m.kf_R)
+        finally:
+            (self.map, self.state, self.frame_id, self.last_frame,
+             self.last_obs, self.R, self.t, self.vel, self.ref_kf,
+             self.last_kf_frame, self._kf_valid_host) = snap
+            if self.loop_closer is not None:
+                self.loop_closer.db = db_snap
+
     @staticmethod
     def _upload(image) -> jnp.ndarray:
         """Ship uint8 images as uint8 (4x less host->device traffic; the
@@ -492,7 +572,11 @@ class System:
                       cull_info.R_rel, cull_info.t_rel):
                 a.copy_to_host_async()
             self._pending_cull = cull_info
-        self.map = ms.update_mappoint_stats(self.map)
+        # stats refresh restricted to the local window's points: the chain
+        # above only moves/re-associates points the covisible window sees
+        # (~4x less device work than the full-P pass at bench scale)
+        self.map = ms.update_mappoint_stats_touched(
+            self.map, lm.window_touched_points(self.map, slot))
         if self.loop_closer is not None:
             self._pending_det = (
                 slot, self.loop_closer.dispatch_detection(self.map, slot))
@@ -586,7 +670,8 @@ class System:
             for a in (cull_info.slots, cull_info.ok, cull_info.new_ref,
                       cull_info.R_rel, cull_info.t_rel):
                 a.copy_to_host_async()
-        self.map = ms.update_mappoint_stats(self.map)
+        self.map = ms.update_mappoint_stats_touched(
+            self.map, lm.window_touched_points(self.map, slot))
         if self.loop_closer is not None:
             # dispatch loop detection (also writes the BoW row the
             # relocalizer needs); resolve immediately — the bundle is

@@ -166,9 +166,13 @@ def track_local_map(cam: CameraModel, m: MapState, frame: Frame, R, t, obs,
     cand_mask = local_mask & in_frustum
 
     # predicted octave from distance (MapPoint::PredictScale, MapPoint.cc:418)
+    # — clipped to the pyramid's ACTUAL top level like the reference's
+    # mnScaleLevels-1 (frames may run fewer than 8 levels; a prediction
+    # beyond the top level would fail every octave gate)
+    top_oct = jnp.max(jnp.where(frame.valid, frame.octave, 0))
     ratio = jnp.maximum(m.mp_max_dist / jnp.maximum(dist, 1e-9), 1.0)
     pred_oct = jnp.clip(
-        jnp.ceil(jnp.log(ratio) / jnp.log(SCALE)).astype(jnp.int32), 0, 7
+        jnp.ceil(jnp.log(ratio) / jnp.log(SCALE)).astype(jnp.int32), 0, top_oct
     )
 
     # --- take up to max_local_pts candidates

@@ -351,7 +351,8 @@ def _grid_cost(cam: CameraModel, R, t, X, g: GridBA, chi2_out: bool = False):
 
 @partial(jax.jit, static_argnums=(2, 3))
 def bundle_adjust_grid(cam: CameraModel, g: GridBA, iters: int = 10,
-                       robust: bool = True, lam0: float = 1e-5):
+                       robust: bool = True, lam0: float = 1e-5,
+                       lam_ladder: tuple = (1.0, 8.0, 64.0)):
     """Robust LM with dense Schur solve over a [C, N] observation grid.
 
     Same semantics as bundle_adjust (Optimizer::LocalBundleAdjustment)
@@ -437,7 +438,7 @@ def bundle_adjust_grid(cam: CameraModel, g: GridBA, iters: int = 10,
             X_n = X + dp * g.pt_valid[:, None]
             return R_n, t_n, X_n, _grid_cost(cam, R_n, t_n, X_n, g)
 
-        lams = lam * jnp.asarray([1.0, 8.0, 64.0])
+        lams = lam * jnp.asarray(lam_ladder)
         R_a, t_a, X_a, cost_a = jax.vmap(attempt)(lams)
         improves = cost_a < cost
         pick = jnp.argmax(improves)          # first (smallest-lam) improving

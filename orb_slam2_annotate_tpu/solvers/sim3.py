@@ -73,7 +73,8 @@ class Sim3Result(NamedTuple):
 def sim3_ransac(key, cam: CameraModel, x1, x2, uv1, uv2,
                 n_hyp: int = 128, fix_scale: bool = False,
                 valid=None, th_chi2: float = 9.21,
-                inv_sigma2_1=None, inv_sigma2_2=None) -> Sim3Result:
+                inv_sigma2_1=None, inv_sigma2_2=None,
+                min_inliers: int = 20) -> Sim3Result:
     """RANSAC Sim3 from matched 3D point pairs with image-space scoring.
 
     x1, x2: [N,3] matched map points in the two keyframes' CAMERA frames
@@ -136,7 +137,7 @@ def sim3_ransac(key, cam: CameraModel, x1, x2, uv1, uv2,
     t_f = jnp.where(use_refined, t_r, ts[best])
     inl_f = jnp.where(use_refined, inl_r, inls[best])
     n_f = jnp.maximum(n_r, ns[best])
-    return Sim3Result(n_f >= 20, s_f, R_f, t_f, inl_f, n_f)
+    return Sim3Result(n_f >= min_inliers, s_f, R_f, t_f, inl_f, n_f)
 
 
 def _sim3_project_residuals(cam: CameraModel, s, R, t, x1, x2, uv1, uv2,

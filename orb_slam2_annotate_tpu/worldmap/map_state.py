@@ -317,13 +317,16 @@ def _stats_from_table(m: MapState, pos, obs_kf, obs_ft, obs_cnt, obs_mask):
         jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
 
     # reference: distance to the *reference* (first) observation KF, scaled
-    # by that keypoint's octave (MapPoint.cc:378-404)
+    # by that keypoint's octave (MapPoint.cc:378-404).  The near-side band
+    # divides by the pyramid's ACTUAL depth (mnScaleLevels, MapPoint.cc:403)
+    # — with a hardcoded 8 a 4-level pipeline would keep points 3.6x too
+    # close, which then predict scales beyond the existing octaves.
     ref_dist = jnp.linalg.norm(pos - centers[:, 0], axis=-1)
     ref_oct = m.kf_octave[obs_kf[:, 0], obs_ft[:, 0]]
     scale = 1.2 ** ref_oct.astype(jnp.float32)
-    n_levels = 8
+    n_levels = 1 + jnp.max(jnp.where(m.kf_feat_valid, m.kf_octave, 0))
     max_dist = ref_dist * scale
-    min_dist = max_dist / (1.2 ** (n_levels - 1))
+    min_dist = max_dist / (1.2 ** (n_levels - 1).astype(jnp.float32))
     return new_desc, normal, 0.8 * min_dist, 1.2 * max_dist
 
 

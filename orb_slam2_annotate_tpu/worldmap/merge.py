@@ -184,4 +184,60 @@ def merge_maps(m_a: ms.MapState, m_b: ms.MapState, cam: CameraModel,
 
     merged = ms.MapState(**arrays)
     merged = ms.update_mappoint_stats(merged)
+    merged = _refine_seam(merged, cam, kf_a, kf_map[int(kf_b)])
     return MergeResult(merged, True, kf_a, kf_b, float(s))
+
+
+def _refine_seam(m: ms.MapState, cam: CameraModel, kf_a: int,
+                 kf_b_new: int) -> ms.MapState:
+    """Fuse duplicate landmarks across the session seam, then run a joint
+    bundle adjustment.
+
+    The Sim3 alignment alone leaves B's chain wherever the (noisy)
+    cross-map solve put it; without shared observations a BA cannot pull
+    the sessions together.  Fusing A's points into B's seam keyframes
+    (and vice versa) creates the cross-session observations that make
+    the joint BA meaningful — the same mechanics as the loop closer's
+    SearchAndFuse + global BA (LoopClosing.cc:689,756).
+    """
+    from ..pipeline import local_mapping as lm_mod
+    from ..solvers import ba_cg
+    from ..solvers.ba_core import BAProblem
+
+    K, P, N = m.K, m.P, m.N
+    W = ms.covisibility(m)
+    O = ms.observation_matrix(m)
+
+    def fuse_into(dst_kf: int, src_kf: int, mm: ms.MapState) -> ms.MapState:
+        T_FUSE = min(8, K)
+        w_dst = jnp.where(mm.kf_valid, W[dst_kf], -1).at[dst_kf].set(-1)
+        _, nb = jax.lax.top_k(w_dst, T_FUSE - 1)
+        targets = jnp.concatenate([jnp.asarray([dst_kf]), nb])
+        tgt_ok = jnp.concatenate([jnp.asarray([True]), w_dst[nb] > 0])
+        src_nb = (W[src_kf] > 0).at[src_kf].set(True) & mm.kf_valid
+        src_pts = jnp.any(O & src_nb[:, None], axis=0)
+        return lm_mod.fuse_points_into(mm, cam, targets, tgt_ok, src_pts,
+                                       update_stats=False)
+
+    m = fuse_into(kf_b_new, kf_a, m)   # A's points into B's seam KFs
+    m = fuse_into(kf_a, kf_b_new, m)   # B's points into A's seam KFs
+    m = ms.update_mappoint_stats(m)
+
+    # joint BA anchored at A's seam keyframe
+    obs = m.kf_obs
+    feat_ok = m.kf_feat_valid & m.kf_valid[:, None]
+    e_valid = feat_ok & (obs >= 0) & m.mp_valid[jnp.clip(obs, 0)]
+    cam_idx = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N)).reshape(-1)
+    octv = m.kf_octave.reshape(-1).astype(jnp.float32)
+    prob = BAProblem(
+        R=m.kf_R, t=m.kf_t, points=m.mp_pos,
+        cam_fixed=jnp.zeros((K,), bool).at[kf_a].set(True) | ~m.kf_valid,
+        cam_valid=m.kf_valid, pt_valid=m.mp_valid,
+        cam_idx=cam_idx.astype(jnp.int32),
+        pt_idx=jnp.clip(obs, 0).reshape(-1).astype(jnp.int32),
+        uv=m.kf_xy.reshape(-1, 2), ur=m.kf_ur.reshape(-1),
+        inv_sigma2=1.0 / (1.2 ** (2.0 * octv)),
+        edge_valid=e_valid.reshape(-1),
+    )
+    R, t, X, _, _ = ba_cg.bundle_adjust_cg(cam, prob, iters=10)
+    return ms.update_mappoint_stats(m._replace(kf_R=R, kf_t=t, mp_pos=X))

@@ -14,6 +14,14 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter start, which SILENTLY OVERRIDES the
+# JAX_PLATFORMS env var above.  Tests must never touch the (exclusive,
+# single-claim) remote TPU: when no other process holds the claim the
+# suite would otherwise run on the TPU — or hang forever in backend init
+# on a wedged claim.  Re-force cpu at the config level.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: XLA compiles dominate test wall-clock on the

@@ -28,6 +28,10 @@ def test_mono_synthetic_sequence():
         max_frames_between_kf=8, init_min_matches=60,
     )
     slam = System(CAM, cfg)
+    # precompile path (the bench and production drivers call this; it
+    # must leave the system state untouched)
+    slam.warmup()
+    assert slam.state == "NO_IMAGES" and slam.n_keyframes == 0
 
     est = {}
     for k, (R, t) in enumerate(poses):

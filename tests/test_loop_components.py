@@ -249,3 +249,51 @@ def test_loop_closer_corrects_constructed_drift():
     # corrected KF11 pose must be near the true pose (identity)
     t_corr = np.asarray(m2.kf_t[11])
     assert np.linalg.norm(t_corr) < 0.08, t_corr
+
+
+def test_drift_plausibility_gate():
+    """The loop-correction drift budget must pass a correction comparable
+    to plausible odometry drift and reject a teleport-sized one
+    (the discriminator that suppresses lookalike false loops)."""
+    import jax.numpy as jnp
+
+    from orb_slam2_annotate_tpu.pipeline.loop_closing import (
+        LoopCloser, LoopCloserConfig,
+    )
+    from orb_slam2_annotate_tpu.worldmap import map_state as ms
+
+    K, P, N = 8, 256, 16
+    m = ms.empty_map(K, P, N)
+    # chain of 6 keyframes stepping 0.3 sideways with 10deg yaw each
+    for k in range(6):
+        yaw = np.radians(10.0 * k)
+        R = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                      [-np.sin(yaw), 0, np.cos(yaw)]], np.float32)
+        t = (-R @ np.array([0.3 * k, 0, 0])).astype(np.float32)
+        m = ms.insert_keyframe(
+            m, jnp.asarray(k), jnp.asarray(R), jnp.asarray(t), k, float(k),
+            jnp.zeros((N, 2)), jnp.full((N,), -1.0), jnp.zeros((N,)),
+            jnp.zeros((N,), jnp.int32), jnp.zeros((N,)),
+            jnp.zeros((N, 8), jnp.uint32), jnp.ones((N,), bool),
+            jnp.full((N,), -1, jnp.int32),
+        )
+    lc = LoopCloser(CAM, K, LoopCloserConfig())
+    R5 = np.asarray(m.kf_R[5])
+    t5 = np.asarray(m.kf_t[5])
+
+    # small correction: candidate is KF0 at identity, so the corrected
+    # slot pose IS S12 — make it the current pose perturbed by 2deg and
+    # a few cm (plausible residual drift)
+    eps = np.radians(2.0)
+    R_eps = np.array([[np.cos(eps), 0, np.sin(eps)], [0, 1, 0],
+                      [-np.sin(eps), 0, np.cos(eps)]], np.float32)
+    assert lc._drift_plausible(m, 5, 0, 1.02, jnp.asarray(R_eps @ R5),
+                               jnp.asarray(t5 + [0.03, 0.0, 0.02]))
+
+    # teleport: the corrected pose is 90deg away from the current one
+    R_big = np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], np.float32)
+    assert not lc._drift_plausible(m, 5, 0, 1.0,
+                                   jnp.asarray(R_big @ R5), jnp.asarray(t5))
+    # scale explosion
+    assert not lc._drift_plausible(m, 5, 0, 3.0, jnp.asarray(R_eps @ R5),
+                                   jnp.asarray(t5))
