@@ -330,8 +330,13 @@ def _fuse_targets_core(m: ms.MapState, cam: CameraModel,
             & (vcos > 0.5)
         )
         dist_ratio = jnp.maximum(m.mp_max_dist / jnp.maximum(dist, 1e-9), 1.0)
+        # clip to the pyramid's actual top level (PredictScale,
+        # MapPoint.cc:449) — a hardcoded 8-level clip would send
+        # predictions past every octave gate on shallower pyramids
+        top_oct = jnp.max(jnp.where(m.kf_feat_valid, m.kf_octave, 0))
         pred_oct = jnp.clip(
-            jnp.ceil(jnp.log(dist_ratio) / jnp.log(SCALE)).astype(jnp.int32), 0, 7
+            jnp.ceil(jnp.log(dist_ratio) / jnp.log(SCALE)).astype(jnp.int32),
+            0, top_oct,
         )
         _, cand = jax.lax.top_k(okp.astype(jnp.int32), MAXC)
         cvalid = okp[cand]
@@ -357,7 +362,7 @@ def _fuse_targets_core(m: ms.MapState, cam: CameraModel,
         z_pt = xc[cand][:, 2]
         f_depth = m.kf_depth[tkf][tgt]
         depth_ok = (f_depth <= 0) | (jnp.abs(z_pt - f_depth) < 0.05 * f_depth)
-        ok = res.matched & (e2 < 3.0 * sig2) & depth_ok
+        ok = res.matched & (e2 < 2.0 * sig2) & depth_ok
         # per-feature best source point
         feat_pt = jnp.full((N,), -1, jnp.int32).at[tgt].max(
             jnp.where(ok, cand.astype(jnp.int32), -1)
@@ -381,8 +386,13 @@ def _fuse_targets_core(m: ms.MapState, cam: CameraModel,
     p_ex = m.mp_pos[jnp.clip(existing, 0)]
     p_pr = m.mp_pos[jnp.clip(prop, 0)]
     d3 = jnp.linalg.norm(p_ex - p_pr, axis=-1)
-    depth_scale = jnp.maximum(jnp.linalg.norm(p_ex, axis=-1), 1e-3)
-    merge_mask &= d3 < 0.05 * depth_scale
+    # scale the agreement gate by distance from the OBSERVING camera
+    # (distance from the world origin says nothing about parallax)
+    cam_c = -jnp.einsum("tij,ti->tj", m.kf_R[targets].transpose(0, 2, 1),
+                        m.kf_t[targets])              # [T,3]
+    depth_scale = jnp.maximum(
+        jnp.linalg.norm(p_ex - cam_c[:, None, :], axis=-1), 1e-3)
+    merge_mask &= d3 < 0.015 * depth_scale
 
     # merge: winner = more observations; remap loser -> winner
     ex = jnp.clip(existing, 0)
@@ -682,6 +692,49 @@ def cull_keyframes(m: ms.MapState, protect_slot,
     if update_stats:
         m = ms.update_mappoint_stats(m)
     return m, info
+
+
+@partial(jax.jit, static_argnames=("has_depth", "do_cull_recent",
+                                   "stats_in_triangulate", "do_fuse",
+                                   "do_local_ba", "do_kf_cull"))
+def keyframe_chain(m: ms.MapState, cam: CameraModel, frame: Frame,
+                   R, t, obs, frame_id, timestamp, max_depth,
+                   has_depth: bool = False, do_cull_recent: bool = True,
+                   stats_in_triangulate: bool = False,
+                   do_fuse: bool = False, do_local_ba: bool = True,
+                   do_kf_cull: bool = True):
+    """The WHOLE per-keyframe mapping chain as ONE device program:
+    insert -> (depth points) -> recent-point cull -> triangulate ->
+    (fuse) -> local BA -> keyframe cull -> windowed stats refresh.
+
+    The stages exist separately above for unit tests and ablation; the
+    live System dispatches this fused version — on the remote-TPU
+    runtime every extra dispatch costs ~1-3 ms of host latency plus a
+    device round-trip, which at 8 stages per keyframe was a measurable
+    slice of the per-keyframe budget.  Returns (map, slot, CullInfo).
+    """
+    m, slot = insert_keyframe_from_frame(
+        m, frame, R, t, obs, frame_id, timestamp, update_stats=False)
+    if has_depth:
+        m = create_depth_mappoints(m, cam, slot, max_depth,
+                                   update_stats=False)
+    if do_cull_recent:
+        m = cull_recent_mappoints(m)
+    m = create_new_mappoints(m, cam, slot,
+                             update_stats=stats_in_triangulate)
+    if do_fuse:
+        m = fuse_neighbors(m, cam, slot, update_stats=False)
+    if do_local_ba:
+        out = local_bundle_adjustment(m, cam, slot, update_stats=False)
+        m = out.map
+    if do_kf_cull:
+        m, cull_info = cull_keyframes(m, slot, update_stats=False)
+    else:
+        z = jnp.zeros((4,), jnp.int32)
+        cull_info = CullInfo(z, jnp.zeros((4,), bool), z,
+                             jnp.zeros((4, 3, 3)), jnp.zeros((4, 3)))
+    m = ms.update_mappoint_stats_touched(m, window_touched_points(m, slot))
+    return m, slot, cull_info
 
 
 @jax.jit

@@ -44,7 +44,8 @@ from ..geometry import lie
 from ..geometry.camera import CameraModel, in_image
 from ..ops import matching
 from ..solvers import sim3 as sim3_solver
-from ..solvers.pose_graph import PoseGraphProblem, edge_measurement, optimize_pose_graph
+from ..solvers.pose_graph import (PoseGraphProblem, edge_measurement,
+                                  optimize_pose_graph, optimize_pose_graph_cg)
 from ..worldmap import map_state as ms
 from ..worldmap import vocabulary as voc
 
@@ -733,7 +734,15 @@ class LoopCloser:
             e_s=jnp.asarray(e_s), e_R=jnp.asarray(e_R), e_t=jnp.asarray(e_t),
             e_valid=jnp.ones(E, bool), e_weight=jnp.ones(E),
         )
-        s_o, R_o, t_o, cost = optimize_pose_graph(prob, cfg.pose_graph_iters)
+        # dense [7Kv,7Kv] solve while small; matrix-free block-Jacobi PCG
+        # once the dense Hessian would dominate memory/time (the essential
+        # graph reaches thousands of keyframes at reference scale)
+        if Kv <= 128:
+            s_o, R_o, t_o, cost = optimize_pose_graph(
+                prob, cfg.pose_graph_iters)
+        else:
+            s_o, R_o, t_o, cost = optimize_pose_graph_cg(
+                prob, cfg.pose_graph_iters)
 
         # --- write back: SE3 = [R, t/s] (Optimizer.cc:1073-1081)
         s_np = np.asarray(s_o)

@@ -61,10 +61,15 @@ class SlamConfig:
     seed: int = 0
     verbose: bool = False
     # stage toggles (debugging / ablation).
-    # TODO(fuse): two-way fusion currently degrades accuracy with the
-    # learned descriptors (wrong cross-KF associations feed BA); ablations
-    # on the synthetic scenes: RGB-D final error 5 cm without fuse vs
-    # ~1 m with.  Off by default until descriptor entropy improves.
+    # fuse (SearchInNeighbors) measured r2, with per-point 3D-agreement +
+    # 2-sigma reprojection + depth gates (tools: /tmp-style A/B over the
+    # synthetic scenes): PlaneScene mono IMPROVES (ATE 1.90 -> 1.41 cm,
+    # -15% duplicate points); RGB-D degrades (2.01 -> 3.86 cm); the
+    # RoomScene loop circle loses tracking.  Wrong adds/merges on
+    # low-distinctiveness texture still outweigh dedup benefits outside
+    # the easy case, so it stays off by default; the same fuse core DOES
+    # run by default across loop seams (SearchAndFuse) and session-merge
+    # seams, where duplicates are certain and geometry is verified.
     enable_fuse: bool = False
     enable_cull: bool = True
     enable_local_ba: bool = True
@@ -179,29 +184,25 @@ class System:
                 jnp.asarray(False), jnp.asarray(self.ref_kf, jnp.int32),
             )
             np.asarray(step.stats)
-            # keyframe chain, exactly as _create_keyframe dispatches it
-            m, _ = lm.insert_keyframe_from_frame(
-                self.map, frame, step.R, step.t, step.obs, 0, 0.0,
-                update_stats=False)
-            if has_depth:
-                baseline = float(cam.bf) / float(cam.fx)
-                m = lm.create_depth_mappoints(
-                    m, cam, 0, cfg.th_depth * baseline, update_stats=False)
-            m = lm.cull_recent_mappoints(m)
-            m = lm.create_new_mappoints(m, cam, 0,
-                                        update_stats=cfg.enable_fuse)
-            if cfg.enable_fuse:
-                m = lm.fuse_neighbors(m, cam, 0, update_stats=False)
-            if cfg.enable_local_ba:
-                out = lm.local_bundle_adjustment(m, cam, 0,
-                                                 update_stats=False)
-                m = out.map
-            if cfg.enable_kf_culling:
-                m, cull_info = lm.cull_keyframes(m, jnp.asarray(0),
-                                                 update_stats=False)
+            # fused keyframe chain, exactly as _run_keyframe_chain
+            # dispatches it — BOTH cull variants (the live system switches
+            # from do_kf_cull=False to True once the map holds >8 KFs)
+            m = self.map
+            for do_cull in ((False, True) if cfg.enable_kf_culling
+                            else (False,)):
+                baseline = (float(cam.bf) / float(cam.fx)
+                            if has_depth else 0.0)
+                m, _, cull_info = lm.keyframe_chain(
+                    self.map, cam, frame, step.R, step.t, step.obs, 0, 0.0,
+                    cfg.th_depth * baseline,
+                    has_depth=has_depth,
+                    do_cull_recent=cfg.enable_cull,
+                    stats_in_triangulate=cfg.enable_fuse,
+                    do_fuse=cfg.enable_fuse,
+                    do_local_ba=cfg.enable_local_ba,
+                    do_kf_cull=do_cull,
+                )
                 np.asarray(cull_info.ok)
-            m = ms.update_mappoint_stats_touched(
-                m, lm.window_touched_points(m, 0))
             if self.loop_closer is not None:
                 det = self.loop_closer.dispatch_detection(m, 0)
                 np.asarray(det.ok)
@@ -545,38 +546,15 @@ class System:
             self.map = self.loop_closer.maybe_fold_gba(self.map)
 
         slot = int(np.argmin(self._kf_valid_host))
-        self.map, _ = lm.insert_keyframe_from_frame(
-            self.map, e["frame"], e["step"].R, e["step"].t, e["step"].obs,
-            e["frame_id"], e["ts"], update_stats=False)
+        self.map, cull_info = self._run_keyframe_chain(
+            e["frame"], e["step"].R, e["step"].t, e["step"].obs,
+            e["frame_id"], e["ts"], e["has_depth"])
         self._kf_valid_host[slot] = True
-        if e["has_depth"]:
-            baseline = float(self.cam.bf) / float(self.cam.fx)
-            self.map = lm.create_depth_mappoints(
-                self.map, self.cam, slot, self.cfg.th_depth * baseline,
-                update_stats=False)
-        if self.cfg.enable_cull:
-            self.map = lm.cull_recent_mappoints(self.map)
-        self.map = lm.create_new_mappoints(self.map, self.cam, slot,
-                                           update_stats=self.cfg.enable_fuse)
-        if self.cfg.enable_fuse:
-            self.map = lm.fuse_neighbors(self.map, self.cam, slot,
-                                         update_stats=False)
-        if self.cfg.enable_local_ba:
-            out = lm.local_bundle_adjustment(self.map, self.cam, slot,
-                                             update_stats=False)
-            self.map = out.map
-        if self.cfg.enable_kf_culling and self.n_keyframes > 8:
-            self.map, cull_info = lm.cull_keyframes(self.map, jnp.asarray(slot),
-                                                    update_stats=False)
+        if cull_info is not None:
             for a in (cull_info.slots, cull_info.ok, cull_info.new_ref,
                       cull_info.R_rel, cull_info.t_rel):
                 a.copy_to_host_async()
             self._pending_cull = cull_info
-        # stats refresh restricted to the local window's points: the chain
-        # above only moves/re-associates points the covisible window sees
-        # (~4x less device work than the full-P pass at bench scale)
-        self.map = ms.update_mappoint_stats_touched(
-            self.map, lm.window_touched_points(self.map, slot))
         if self.loop_closer is not None:
             self._pending_det = (
                 slot, self.loop_closer.dispatch_detection(self.map, slot))
@@ -585,6 +563,26 @@ class System:
         self.ref_tracked = self._last_n_local
         self._peak_n_local = 0
         return slot
+
+    def _run_keyframe_chain(self, frame, R, t, obs, frame_id, ts,
+                            has_depth: bool):
+        """Dispatch the whole mapping chain as ONE fused device program
+        (lm.keyframe_chain); mp stats (distinctive descriptor / normal /
+        scale band) are recomputed once at its end over the covisible
+        window's points.  Returns (map, CullInfo | None)."""
+        baseline = float(self.cam.bf) / float(self.cam.fx) if has_depth else 0.0
+        do_kf_cull = self.cfg.enable_kf_culling and self.n_keyframes > 8
+        m, _, cull_info = lm.keyframe_chain(
+            self.map, self.cam, frame, R, t, obs, frame_id, ts,
+            self.cfg.th_depth * baseline,
+            has_depth=has_depth,
+            do_cull_recent=self.cfg.enable_cull,
+            stats_in_triangulate=self.cfg.enable_fuse,
+            do_fuse=self.cfg.enable_fuse,
+            do_local_ba=self.cfg.enable_local_ba,
+            do_kf_cull=do_kf_cull,
+        )
+        return m, (cull_info if do_kf_cull else None)
 
     def flush(self):
         """Drain all in-flight pipelined work (async mode).  Call before
@@ -635,43 +633,13 @@ class System:
         # the slot argmin is mirrored on host so the whole mapping chain
         # below dispatches with zero device->host reads
         slot = int(np.argmin(self._kf_valid_host))
-        # mp stats (distinctive descriptor / normal / scale band) are
-        # recomputed ONCE at the end of the chain; intermediate stages
-        # run with update_stats=False (they only touch geometry/obs)
-        self.map, _ = lm.insert_keyframe_from_frame(
-            self.map, frame, self.R, self.t, obs, self.frame_id, timestamp,
-            update_stats=False,
-        )
+        self.map, cull_info = self._run_keyframe_chain(
+            frame, self.R, self.t, obs, self.frame_id, timestamp, has_depth)
         self._kf_valid_host[slot] = True
-        if has_depth:
-            baseline = float(self.cam.bf) / float(self.cam.fx)
-            self.map = lm.create_depth_mappoints(
-                self.map, self.cam, slot, self.cfg.th_depth * baseline,
-                update_stats=False,
-            )
-        if self.cfg.enable_cull:
-            self.map = lm.cull_recent_mappoints(self.map)
-        self.map = lm.create_new_mappoints(self.map, self.cam, slot,
-                                           update_stats=self.cfg.enable_fuse)
-        if self.cfg.enable_fuse:
-            self.map = lm.fuse_neighbors(self.map, self.cam, slot,
-                                         update_stats=False)
-        if self.cfg.enable_local_ba:
-            out = lm.local_bundle_adjustment(self.map, self.cam, slot,
-                                             update_stats=False)
-            if self.cfg.verbose:
-                print(f"  [ba] kf_slot={slot} edges={int(out.n_edges)} "
-                      f"cost={float(out.cost):.1f}")
-            self.map = out.map
-        cull_info = None
-        if self.cfg.enable_kf_culling and self.n_keyframes > 8:
-            self.map, cull_info = lm.cull_keyframes(self.map, jnp.asarray(slot),
-                                                    update_stats=False)
+        if cull_info is not None:
             for a in (cull_info.slots, cull_info.ok, cull_info.new_ref,
                       cull_info.R_rel, cull_info.t_rel):
                 a.copy_to_host_async()
-        self.map = ms.update_mappoint_stats_touched(
-            self.map, lm.window_touched_points(self.map, slot))
         if self.loop_closer is not None:
             # dispatch loop detection (also writes the BoW row the
             # relocalizer needs); resolve immediately — the bundle is

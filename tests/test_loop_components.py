@@ -4,6 +4,7 @@ PnP RANSAC, Sim3 RANSAC, and Sim3 pose-graph optimization."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from orb_slam2_annotate_tpu.geometry import CameraModel, lie
 from orb_slam2_annotate_tpu.solvers import pnp, sim3 as sim3_solver
@@ -109,7 +110,8 @@ def test_sim3_ransac_recovers_similarity():
     assert np.linalg.norm(np.asarray(res.t) - t_true) < 0.05
 
 
-def test_pose_graph_distributes_loop_error():
+@pytest.mark.parametrize("solver", ["dense", "cg"])
+def test_pose_graph_distributes_loop_error(solver):
     """Chain 0-1-...-9 with odometry edges + loop edge 9->0.  Simulated
     drift: odometry measurements are exact, initial poses have accumulated
     error; after optimization the loop must be consistent."""
@@ -156,7 +158,13 @@ def test_pose_graph_distributes_loop_error():
         e_t=jnp.asarray(np.stack(et)),
         e_valid=jnp.ones(E, bool), e_weight=jnp.ones(E),
     )
-    s1, R1, t1, cost = optimize_pose_graph(prob, iters=25)
+    if solver == "dense":
+        s1, R1, t1, cost = optimize_pose_graph(prob, iters=25)
+    else:
+        from orb_slam2_annotate_tpu.solvers.pose_graph import (
+            optimize_pose_graph_cg,
+        )
+        s1, R1, t1, cost = optimize_pose_graph_cg(prob, iters=25)
     assert float(cost) < 1e-4, float(cost)
     # poses should match GT (anchor 0 fixed at GT)
     for k in range(K):
