@@ -388,8 +388,9 @@ def _fuse_targets_core(m: ms.MapState, cam: CameraModel,
     d3 = jnp.linalg.norm(p_ex - p_pr, axis=-1)
     # scale the agreement gate by distance from the OBSERVING camera
     # (distance from the world origin says nothing about parallax)
-    cam_c = -jnp.einsum("tij,ti->tj", m.kf_R[targets].transpose(0, 2, 1),
-                        m.kf_t[targets])              # [T,3]
+    # camera center = -R^T t; einsum "tij,ti->tj" contracts the FIRST
+    # matrix index (computes A^T v), so pass R itself — no transpose
+    cam_c = -jnp.einsum("tij,ti->tj", m.kf_R[targets], m.kf_t[targets])  # [T,3]
     depth_scale = jnp.maximum(
         jnp.linalg.norm(p_ex - cam_c[:, None, :], axis=-1), 1e-3)
     merge_mask &= d3 < 0.015 * depth_scale
@@ -741,9 +742,11 @@ def keyframe_chain(m: ms.MapState, cam: CameraModel, frame: Frame,
 def window_touched_points(m: ms.MapState, slot) -> jnp.ndarray:
     """[P] mask of points the keyframe chain may have moved or
     re-associated: everything observed by the new keyframe's covisible
-    window (the local-BA optimizable set + fusion targets)."""
+    window (the local-BA optimizable set + fusion targets).  Window is
+    24 so it covers cull_keyframes' candidate window — points observed
+    only by culled keyframes must get their stats refreshed too."""
     K = m.K
-    n_win = min(16, K)
+    n_win = min(24, K)
     W = ms.covisibility(m)
     w_slot = jnp.where(m.kf_valid, W[slot], -1).at[slot].set(-1)
     _, nb = jax.lax.top_k(w_slot, n_win - 1)

@@ -299,6 +299,10 @@ class LoopCloserConfig:
     drift_rot_frac: float = 0.25
     drift_rot_abs: float = 0.12   # ~7deg floor
     drift_trans_frac: float = 0.35
+    # absolute translation floor (fraction of median KF baseline): true
+    # closures over SHORT accumulated paths carry noise-sized corrections
+    # that a purely fractional budget would reject
+    drift_trans_abs_baselines: float = 2.0
     drift_log_scale_max: float = 0.5
     min_ransac_inliers: int = 12  # final pair-set geometric inliers
                                   # (the reference's OptimizeSim3 caller
@@ -496,15 +500,22 @@ class LoopCloser:
             np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0))))
         tr_corr = float(np.linalg.norm(c_new - c_old))
         cfg = self.cfg
+        # absolute floor: a few median keyframe baselines, so a true
+        # closure over a short accumulated path (noise-sized correction)
+        # isn't rejected by the fractional budget alone
+        n_seg = max(len(ids) - 1, 1)
+        med_baseline = acc_tr / n_seg
+        tr_budget = max(cfg.drift_trans_frac * acc_tr,
+                        cfg.drift_trans_abs_baselines * med_baseline)
         ok = (rot_corr <= cfg.drift_rot_frac * acc_rot + cfg.drift_rot_abs
-              and tr_corr <= cfg.drift_trans_frac * acc_tr
+              and tr_corr <= tr_budget
               and abs(float(np.log(max(float(s12), 1e-9))))
               <= cfg.drift_log_scale_max)
         if not ok:
             _trace(f"  drift check: rot_corr={np.degrees(rot_corr):.1f}deg "
                    f"(budget {np.degrees(cfg.drift_rot_frac * acc_rot + cfg.drift_rot_abs):.1f}), "
                    f"trans_corr={tr_corr:.3f} (budget "
-                   f"{cfg.drift_trans_frac * acc_tr:.3f}), s={float(s12):.3f}")
+                   f"{tr_budget:.3f}), s={float(s12):.3f}")
         return ok
 
     def _compute_sim3(self, m: ms.MapState, slot: int, cand: int):

@@ -571,7 +571,10 @@ class System:
         scale band) are recomputed once at its end over the covisible
         window's points.  Returns (map, CullInfo | None)."""
         baseline = float(self.cam.bf) / float(self.cam.fx) if has_depth else 0.0
-        do_kf_cull = self.cfg.enable_kf_culling and self.n_keyframes > 8
+        # +1: the keyframe being inserted by this chain isn't marked in
+        # _kf_valid_host yet — count it so cull onset matches the old
+        # inline code which checked after marking the slot valid
+        do_kf_cull = self.cfg.enable_kf_culling and self.n_keyframes + 1 > 8
         m, _, cull_info = lm.keyframe_chain(
             self.map, self.cam, frame, R, t, obs, frame_id, ts,
             self.cfg.th_depth * baseline,
