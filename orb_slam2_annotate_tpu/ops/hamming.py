@@ -29,8 +29,13 @@ def hamming_pairwise(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         from . import pallas_kernels
 
         return pallas_kernels.hamming_pairwise_pallas(a, b)
-    x = a[:, None, :] ^ b[None, :, :]
-    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    # Word-major accumulation: a [N,M,8] intermediate would put 8 in the
+    # tile lane dimension (padded to 128 -> 16x memory traffic, measured
+    # ~2.5 ms for N=M=1024).  Eight fused [N,M] planes tile perfectly.
+    d = jax.lax.population_count(a[:, None, 0] ^ b[None, :, 0])
+    for w in range(1, a.shape[-1]):
+        d = d + jax.lax.population_count(a[:, None, w] ^ b[None, :, w])
+    return d.astype(jnp.int32)
 
 
 def hamming_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

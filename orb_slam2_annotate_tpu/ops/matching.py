@@ -108,7 +108,12 @@ def window_mask(xy1_proj: jnp.ndarray, xy2: jnp.ndarray, radius: jnp.ndarray):
     Replaces Frame::GetFeaturesInArea grid queries (Frame.cc:358) with a
     dense distance test.
     """
-    d2 = jnp.sum((xy1_proj[:, None, :] - xy2[None, :, :]) ** 2, axis=-1)
+    # componentwise: an [N1,N2,2] intermediate would pad the trailing dim
+    # 2 -> 128 in the tile lane (64x traffic); two [N1,N2] planes tile
+    # perfectly
+    dx = xy1_proj[:, None, 0] - xy2[None, :, 0]
+    dy = xy1_proj[:, None, 1] - xy2[None, :, 1]
+    d2 = dx * dx + dy * dy
     r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (xy1_proj.shape[0],))
     return d2 <= (r[:, None] ** 2)
 

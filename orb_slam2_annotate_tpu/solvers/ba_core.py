@@ -257,7 +257,7 @@ def bundle_adjust(cam: CameraModel, prob: BAProblem, iters: int = 10,
 
 
 # ---------------------------------------------------------------------------
-# Grid-structured BA: scatter-free normal equations
+# Grid-structured BA: scatter-free normal equations, tile-aware layout
 # ---------------------------------------------------------------------------
 #
 # Local BA's edge set is the dense [C, N] keyframe-feature grid (every
@@ -268,6 +268,15 @@ def bundle_adjust(cam: CameraModel, prob: BAProblem, iters: int = 10,
 # time in .at[].add; here every per-iteration quantity is a gather +
 # einsum (MXU/VPU friendly), with the single scatter (building the
 # inverse index) done once per solve.
+#
+# LAYOUT RULE (the round-3 10x): TPU tiles the last two axes of every
+# array to (8, 128).  Any big tensor whose trailing axes are Jacobian
+# dims (3 or 6) is padded 20-50x in physical memory — an [C,N,3,6] Jc
+# costs 134 MB of HBM traffic instead of 2.3 MB, and one LM
+# linearization measured 6 ms instead of <1 ms.  All per-edge arrays
+# below therefore carry the BIG axis (N features / P points) LAST and
+# the small Jacobian axes first: r [3,C,N], Jc [3,6,C,N], Hpp [3,3,P],
+# B [6,3,C,P].
 
 
 class GridBA(NamedTuple):
@@ -323,14 +332,17 @@ def _grid_residual_jac(cam: CameraModel, R, t, X, g: GridBA):
 
 
 def _grid_cost(cam: CameraModel, R, t, X, g: GridBA, chi2_out: bool = False):
-    """Robust (huberized) cost only — no Jacobians, no gathers."""
+    """Robust (huberized) cost only — no Jacobians, no gathers.
+
+    Plane layout: xc is [C,3,N] so every intermediate is a dense [C,N]
+    tile plane (an [C,N,3] xc pads 3 -> 128 in the tile lane)."""
     Xg = X[jnp.clip(g.pt_loc, 0)]
-    xc = jnp.einsum("cij,cnj->cni", R, Xg) + t[:, None, :]
-    z = xc[..., 2]
+    xc = jnp.einsum("cij,cnj->cin", R, Xg) + t[:, :, None]
+    z = xc[:, 2]
     depth_ok = z > 1e-3
     z_safe = jnp.where(z < 1e-3, 1e-3, z)
-    u = cam.fx * xc[..., 0] / z_safe + cam.cx
-    v = cam.fy * xc[..., 1] / z_safe + cam.cy
+    u = cam.fx * xc[:, 0] / z_safe + cam.cx
+    v = cam.fy * xc[:, 1] / z_safe + cam.cy
     ur_pred = u - cam.bf / z_safe
     is_stereo = g.ur >= 0
     e2 = (u - g.uv[..., 0]) ** 2 + (v - g.uv[..., 1]) ** 2 + jnp.where(
@@ -349,6 +361,114 @@ def _grid_cost(cam: CameraModel, R, t, X, g: GridBA, chi2_out: bool = False):
     return cost
 
 
+def _inv3_planes(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of [3, 3, ...] matrices in plane layout (the
+    matrix dims LEAD so the big batch axis stays in the tile lanes)."""
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    det_safe = jnp.where(jnp.abs(det) < 1e-20,
+                         jnp.where(det < 0, -1e-20, 1e-20), det)
+    inv = jnp.stack([
+        jnp.stack([co00, co01, co02], axis=0),
+        jnp.stack([co10, co11, co12], axis=0),
+        jnp.stack([co20, co21, co22], axis=0),
+    ], axis=0)
+    return inv / det_safe[None, None]
+
+
+def _grid_planes_residual_jac(cam: CameraModel, R, t, X, g: GridBA):
+    """Plane-layout residuals/Jacobians over the [C,N] grid.
+
+    Returns r [3,C,N], Jc [3,6,C,N], Jp [3,3,C,N], is_stereo [C,N],
+    depth_ok [C,N].  First axis = pixel row (u, v, u_r); second axis =
+    parameter; the big feature axis is last (see LAYOUT RULE above).
+    """
+    Xg = X[jnp.clip(g.pt_loc, 0)]                       # [C,N,3] gather
+    xc = jnp.einsum("cij,cnj->cin", R, Xg) + t[:, :, None]  # [C,3,N]
+    x, y, z = xc[:, 0], xc[:, 1], xc[:, 2]              # [C,N]
+    depth_ok = z > 1e-3
+    z_safe = jnp.where(z < 1e-3, 1e-3, z)
+    iz = 1.0 / z_safe
+    iz2 = iz * iz
+
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    ur_pred = u - cam.bf * iz
+    is_stereo = g.ur >= 0
+    r = jnp.stack([u - g.uv[..., 0], v - g.uv[..., 1],
+                   jnp.where(is_stereo, ur_pred - g.ur, 0.0)], axis=0)
+
+    zeros = jnp.zeros_like(x)
+    du = (cam.fx * iz, zeros, -cam.fx * x * iz2)        # d(u)/dxc
+    dv = (zeros, cam.fy * iz, -cam.fy * y * iz2)
+    dr = (jnp.where(is_stereo, du[0], 0.0), zeros,
+          jnp.where(is_stereo, du[2] + cam.bf * iz2, 0.0))
+
+    def jrow_cam(d):
+        """One pixel row of Jc: d(pix)/dxc . [I | -hat(xc)] -> [6,C,N]."""
+        dx, dy, dz = d
+        return jnp.stack([
+            dx, dy, dz,
+            dz * y - dy * z,
+            dx * z - dz * x,
+            dy * x - dx * y,
+        ], axis=0)
+
+    Jc = jnp.stack([jrow_cam(du), jrow_cam(dv), jrow_cam(dr)], axis=0)
+
+    def jrow_pt(d):
+        """One pixel row of Jp: d(pix)/dxc . R -> [3,C,N]."""
+        ds = jnp.stack(d, axis=0)                        # [3,C,N]
+        return jnp.einsum("icn,cij->jcn", ds, R)
+
+    Jp = jnp.stack([jrow_pt(du), jrow_pt(dv), jrow_pt(dr)], axis=0)
+    return r, Jc, Jp, is_stereo, depth_ok
+
+
+def schur_solve_planes(Hcc, Hpp, B, gc, gp, lam, cam_free_mask):
+    """Dense Schur solve in plane layout.
+
+    Hcc [C,6,6], Hpp [3,3,P], B [6,3,C,P], gc [C,6], gp [3,P].
+    Returns (dc [C,6], dp [P,3]).
+    """
+    C = Hcc.shape[0]
+    Hcc_d = _damp_blocks(Hcc, lam)
+    dg = jnp.stack([Hpp[0, 0], Hpp[1, 1], Hpp[2, 2]], axis=0)     # [3,P]
+    Hpp_d = Hpp + jnp.eye(3)[:, :, None] * (lam * dg + 1e-9)[:, None, :]
+    Hpp_inv = _inv3_planes(Hpp_d + 1e-8 * jnp.eye(3)[:, :, None])
+
+    BH = jnp.einsum("ikcp,kjp->ijcp", B, Hpp_inv)        # [6,3,C,P]
+    S_off = jnp.einsum("ikcp,lkdp->cdil", BH, B)         # [C,C,6,6]
+    S = -S_off
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc_d)
+
+    rhs = -gc + jnp.einsum("ikcp,kp->ci", BH, gp)        # [C,6]
+
+    Sf = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
+    mask6 = jnp.repeat(cam_free_mask, 6)
+    Sf = jnp.where(mask6[:, None] & mask6[None, :], Sf, 0.0)
+    Sf = Sf + jnp.diag(jnp.where(mask6, 0.0, 1.0))
+    rf = jnp.where(mask6, rhs.reshape(-1), 0.0)
+
+    dc = jax.scipy.linalg.solve(Sf, rf, assume_a="pos").reshape(C, 6)
+    dc = jnp.where(cam_free_mask[:, None], dc, 0.0)
+
+    Btdc = jnp.einsum("ikcp,ci->kp", B, dc)              # [3,P]
+    dp = jnp.einsum("jkp,kp->jp", Hpp_inv, -gp - Btdc)   # [3,P]
+    return dc, dp.T
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def bundle_adjust_grid(cam: CameraModel, g: GridBA, iters: int = 10,
                        robust: bool = True, lam0: float = 1e-5,
@@ -356,7 +476,8 @@ def bundle_adjust_grid(cam: CameraModel, g: GridBA, iters: int = 10,
     """Robust LM with dense Schur solve over a [C, N] observation grid.
 
     Same semantics as bundle_adjust (Optimizer::LocalBundleAdjustment)
-    but with scatter-free per-iteration assembly.  Returns
+    but with scatter-free per-iteration assembly in the tile-aware plane
+    layout (see LAYOUT RULE above).  Returns
     (R [C,3,3], t [C,3], points [P,3], edge_inlier [C,N], cost).
     """
     C, N = g.pt_loc.shape
@@ -372,47 +493,47 @@ def bundle_adjust_grid(cam: CameraModel, g: GridBA, iters: int = 10,
     inv = jnp.full((P, C), N, jnp.int32).at[
         jnp.clip(g.pt_loc, 0).reshape(-1), cam_ids.reshape(-1)
     ].min(jnp.where(base_valid, n_ids, N).reshape(-1))
+    # linear index into the flattened [..., C*(N+1)] plane arrays,
+    # transposed [C,P] so the gather output keeps P in the tile lane
+    selT = (inv + jnp.arange(C)[None, :] * (N + 1)).T    # [C,P]
 
-    def pad_n(a):
-        """Append one zero entry along the feature axis (axis=1)."""
-        pad_width = [(0, 0), (0, 1)] + [(0, 0)] * (a.ndim - 2)
-        return jnp.pad(a, pad_width)
+    def take(a):
+        """Gather per-(cam, point) entries along the LAST axis.
 
-    # linear indices into the flattened [C*(N+1)] grid: one single-axis
-    # gather lowers far better on TPU than a 2-axis advanced index
-    lin_sel_base = jnp.arange(C)[None, :] * (N + 1)   # [1, C]
+        a [..., C, N] -> padded [..., C*(N+1)] -> out [..., C, P].
+        """
+        pad_width = [(0, 0)] * (a.ndim - 1) + [(0, 1)]
+        ap = jnp.pad(a, pad_width)
+        flat = ap.reshape(a.shape[:-2] + (-1,))
+        return flat[..., selT]
 
     def linearize(R, t, X):
-        r, Jc, Jp, is_stereo, depth_ok = _grid_residual_jac(cam, R, t, X, g)
-        chi2 = jnp.sum(r * r, axis=-1) * g.inv_sigma2
+        r, Jc, Jp, is_stereo, depth_ok = _grid_planes_residual_jac(
+            cam, R, t, X, g)
+        chi2 = jnp.sum(r * r, axis=0) * g.inv_sigma2     # [C,N]
         delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
         w_huber = jnp.where(
             robust & (chi2 > delta2),
             jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)), 1.0)
         live = base_valid & depth_ok
-        w = g.inv_sigma2 * w_huber * live
-        Jc = jnp.where(g.cam_fixed[:, None, None, None], 0.0, Jc)
-        Jcw = Jc * w[..., None, None]
-        Jpw = Jp * w[..., None, None]
+        w = g.inv_sigma2 * w_huber * live                # [C,N]
+        Jc = jnp.where(g.cam_fixed[None, None, :, None], 0.0, Jc)
+        Jcw = Jc * w[None, None]
+        Jpw = Jp * w[None, None]
 
-        # camera-side: plain reductions over the feature axis
-        Hcc = jnp.einsum("cnij,cnik->cjk", Jcw, Jc)   # [C,6,6]
-        gc = jnp.einsum("cnij,cni->cj", Jcw, r)        # [C,6]
+        # camera-side: contract pixel-row + feature axes
+        Hcc = jnp.einsum("ricn,rjcn->cij", Jcw, Jc)      # [C,6,6]
+        gc = jnp.einsum("ricn,rcn->ci", Jcw, r)          # [C,6]
 
         # point-side: gather each point's (<=1 per camera) observation
-        sel = inv + lin_sel_base                        # [P,C] linear ids
+        Jp_pc = take(Jpw)                                # [3,3,C,P] weighted
+        Jp0_pc = take(Jp)                                # unweighted
+        Jcw_pc = take(Jcw)                               # [3,6,C,P]
+        r_pc = take(r)                                   # [3,C,P]
 
-        def take(a):
-            return pad_n(a).reshape((C * (N + 1),) + a.shape[2:])[sel]
-
-        Jp_pc = take(Jpw)                               # [P,C,3,3] (weighted)
-        Jp0_pc = take(Jp)                               # unweighted
-        Jcw_pc = take(Jcw)                              # [P,C,3,6]
-        r_pc = take(r)                                  # [P,C,3]
-
-        Hpp = jnp.einsum("pcij,pcik->pjk", Jp_pc, Jp0_pc)   # [P,3,3]
-        gp = jnp.einsum("pcij,pci->pj", Jp_pc, r_pc)         # [P,3]
-        B = jnp.einsum("pcij,pcik->pcjk", Jcw_pc, Jp0_pc)    # [P,C,6,3]
+        Hpp = jnp.einsum("rjcp,rkcp->jkp", Jp_pc, Jp0_pc)   # [3,3,P]
+        gp = jnp.einsum("rjcp,rcp->jp", Jp_pc, r_pc)         # [3,P]
+        B = jnp.einsum("ricp,rkcp->ikcp", Jcw_pc, Jp0_pc)    # [6,3,C,P]
 
         hub = jnp.where(
             chi2 > delta2,
@@ -433,7 +554,7 @@ def bundle_adjust_grid(cam: CameraModel, g: GridBA, iters: int = 10,
         # (g2o's OptimizationAlgorithmLevenberg retries the solve on
         # rejection without re-linearizing)
         def attempt(lam_k):
-            dc, dp = schur_solve_dense(Hcc, Hpp, B, gc, gp, lam_k, cam_free)
+            dc, dp = schur_solve_planes(Hcc, Hpp, B, gc, gp, lam_k, cam_free)
             R_n, t_n = jax.vmap(lie.se3_retract)(R, t, dc)
             X_n = X + dp * g.pt_valid[:, None]
             return R_n, t_n, X_n, _grid_cost(cam, R_n, t_n, X_n, g)

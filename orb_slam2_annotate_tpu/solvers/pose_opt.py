@@ -49,11 +49,14 @@ class PoseObs(NamedTuple):
 def _residual_jac(cam: CameraModel, R, t, obs: PoseObs):
     """Batched residuals and Jacobians wrt the left-multiplied se3 update.
 
-    Returns (r [N,3], J [N,3,6], is_stereo [N], depth_ok [N]).  Mono rows
-    have r[:,2]=0, J[2,:]=0 so they contribute 2 dof.  depth_ok gates rows
-    whose point sits at/behind the camera: their clamped-z Jacobians are
-    enormous and would drown the Hessian (the reference never feeds such
-    points: isInFrustum pre-gates, Frame.cc:297).
+    TPU tile-aware plane layout: returns (r [3,N], J [3,6,N], is_stereo
+    [N], depth_ok [N]) — the big observation axis is LAST so every array
+    tiles densely (an [N,3,6] layout pads 6 -> 128 in the tile lane and
+    costs ~20x the memory traffic).  Mono rows have r[2]=0, J[2]=0 so
+    they contribute 2 dof.  depth_ok gates rows whose point sits
+    at/behind the camera: their clamped-z Jacobians are enormous and
+    would drown the Hessian (the reference never feeds such points:
+    isInFrustum pre-gates, Frame.cc:297).
     """
     xc = obs.xw @ R.T + t  # [N, 3]
     x, y, z = xc[:, 0], xc[:, 1], xc[:, 2]
@@ -70,27 +73,33 @@ def _residual_jac(cam: CameraModel, R, t, obs: PoseObs):
     r_u = u - obs.uv[:, 0]
     r_v = v - obs.uv[:, 1]
     r_r = jnp.where(is_stereo, ur_pred - obs.ur, 0.0)
-    r = jnp.stack([r_u, r_v, r_r], axis=1)
+    r = jnp.stack([r_u, r_v, r_r], axis=0)  # [3,N]
 
-    # d(uvr)/dxc
-    du = jnp.stack([cam.fx * iz, jnp.zeros_like(x), -cam.fx * x * iz2], axis=1)
-    dv = jnp.stack([jnp.zeros_like(x), cam.fy * iz, -cam.fy * y * iz2], axis=1)
-    dr = du + jnp.stack(
-        [jnp.zeros_like(x), jnp.zeros_like(x), cam.bf * iz2], axis=1
-    )
-    dr = jnp.where(is_stereo[:, None], dr, 0.0)
-    dpix = jnp.stack([du, dv, dr], axis=1)  # [N, 3, 3]
+    zeros = jnp.zeros_like(x)
+    du = (cam.fx * iz, zeros, -cam.fx * x * iz2)     # d(u)/dxc rows
+    dv = (zeros, cam.fy * iz, -cam.fy * y * iz2)
+    st = is_stereo
+    dr = (jnp.where(st, du[0], 0.0), zeros,
+          jnp.where(st, du[2] + cam.bf * iz2, 0.0))
 
-    # dxc/dxi for left update xi=[rho,phi]: dxc = rho + dphi x xc
-    # => J_xc = [I | -hat(xc)]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), (xc.shape[0], 3, 3))
-    J_xc = jnp.concatenate([eye, -lie.hat(xc)], axis=2)  # [N, 3, 6]
-    J = dpix @ J_xc  # [N, 3, 6]
+    # J row for one pixel row d = d(pix)/dxc against J_xc = [I | -hat(xc)]:
+    # translation part = d; rotation part = d . (-hat(xc)) computed
+    # componentwise (no [N,3,6] intermediates)
+    def jrow(d):
+        dx, dy, dz = d
+        return jnp.stack([
+            dx, dy, dz,
+            dz * y - dy * z,
+            dx * z - dz * x,
+            dy * x - dx * y,
+        ], axis=0)  # [6,N]
+
+    J = jnp.stack([jrow(du), jrow(dv), jrow(dr)], axis=0)  # [3,6,N]
     return r, J, is_stereo, depth_ok
 
 
 def _chi2(r, inv_sigma2, is_stereo):
-    e2 = jnp.sum(r * r, axis=1)
+    e2 = jnp.sum(r * r, axis=0)
     return e2 * inv_sigma2
 
 
@@ -155,9 +164,10 @@ def optimize_pose(cam: CameraModel, R0, t0, obs: PoseObs,
             w_huber = _huber_weight(chi2, delta2_all, robust)
             w = obs.inv_sigma2 * w_huber * (obs.valid & inlier & depth_ok)
 
-            Jw = J * w[:, None, None]
-            H = jnp.einsum("nij,nik->jk", Jw, J)  # [6,6]
-            g = jnp.einsum("nij,ni->j", Jw, r)
+            # plane layout: J [3,6,N], r [3,N]; contract pixel-row + obs axes
+            Jw = J * w[None, None, :]
+            H = jnp.einsum("rin,rjn->ij", Jw, J)  # [6,6]
+            g = jnp.einsum("rin,rn->i", Jw, r)
             cost = _pose_cost(cam, R, t, obs, mask_f, delta2_all)
 
             d = jnp.diag(H)
