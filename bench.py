@@ -8,6 +8,14 @@ sequence.  The reference baseline is the i7 real-time claim of 30 fps on
 TUM-class sequences (reference README.md:65, Camera.fps in
 Examples/Monocular/TUM1.yaml).
 
+Round-3 architecture: the free-running device loop
+(pipeline/device_loop.py) — the whole per-frame state machine is ONE
+jitted program and the host performs ZERO device->host reads during the
+timed region (any read permanently degrades the axon remote-TPU session
+to a ~25 ms dispatch floor; r2's per-frame stats read was the 28-fps
+ceiling).  Results (trajectory, map, ATE) are read once at the end,
+after timing.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
 """
@@ -62,8 +70,9 @@ _ensure_usable_backend()
 
 def main():
     from orb_slam2_annotate_tpu.geometry import CameraModel
-    from orb_slam2_annotate_tpu.io import synthetic
-    from orb_slam2_annotate_tpu.pipeline import SlamConfig, System
+    from orb_slam2_annotate_tpu.io import evaluation, synthetic
+    from orb_slam2_annotate_tpu.pipeline import SlamConfig
+    from orb_slam2_annotate_tpu.pipeline.device_loop import FreeRunner
 
     n_warm = 16
     n_bench = 96
@@ -75,43 +84,44 @@ def main():
     poses = synthetic.orbit_trajectory(n_frames, step=0.05)
 
     cfg = SlamConfig(n_features=1024, max_kf=128, max_mp=16384,
-                     max_frames_between_kf=6, init_min_matches=60,
-                     async_depth=3)
-    slam = System(cam, cfg)
+                     max_frames_between_kf=6, init_min_matches=60)
+    runner = FreeRunner(cam, cfg, max_frames=n_frames)
 
     # pre-render all frames so host rendering is outside the timed loop;
     # uint8 like a real camera (4x less host->device traffic)
     frames = [np.clip(scene.render(cam, R, t)[0], 0, 255).astype(np.uint8)
               for R, t in poses]
 
-    # precompile + first-execute every pipeline program (System.warmup),
-    # then run warmup frames (map bootstrap) and drain the pipeline so
-    # the timed region starts clean
-    slam.warmup()
+    # compile + first-execute the step program, run the warmup segment
+    # (map bootstrap) and wait for it — WITHOUT reading anything
+    runner.warmup()
     for k in range(n_warm):
-        slam.track_mono(frames[k], k / 30.0)
-    slam.flush()
+        runner.track_mono(frames[k], k / 30.0)
+    runner.block()
 
-    # timed region: wall-clock over the whole steady-state segment
-    # INCLUDING the final drain — median per-frame time would hide device
-    # work still queued in the pipeline
+    # timed region: dispatch the steady-state segment and wait for the
+    # device to drain.  Zero host<->device reads inside.
     t0 = time.perf_counter()
     for k in range(n_warm, n_frames):
-        slam.track_mono(frames[k], k / 30.0)
-    slam.flush()
+        runner.track_mono(frames[k], k / 30.0)
+    runner.block()
     total = time.perf_counter() - t0
 
-    ok = slam.state == "OK" and slam.n_keyframes >= 3
+    # one-shot readback AFTER timing: validity + accuracy
+    out = runner.finish(resolve_loops=False)
+    tracked = [(k, T) for k, T in out["trajectory"] if T is not None]
+    ok = (len(tracked) > 0.7 * n_frames and out["n_keyframes"] >= 3
+          and int(out["modes"][-1]) == 2)
     fps = n_bench / total if total > 0 else 0.0
     if not ok:
         fps = 0.0
-    # per-stage breakdown to stderr (VERDICT r1 item 2: publish the
-    # profile with the headline number; stdout stays one JSON line)
-    print(f"bench: state={slam.state} kfs={slam.n_keyframes} "
-          f"mps={slam.n_mappoints} total={total:.2f}s", file=sys.stderr)
-    rep = slam.telemetry.report()
-    if rep:
-        print(rep, file=sys.stderr)
+
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for _, T in tracked])
+    gt = np.stack([-poses[k][0].T @ poses[k][1] for k, _ in tracked])
+    rmse, _ = evaluation.ate_rmse(est, gt, with_scale=True)
+    print(f"bench: tracked={len(tracked)}/{n_frames} "
+          f"kfs={out['n_keyframes']} mps={out['n_mappoints']} "
+          f"ate={rmse * 100:.2f}cm total={total:.3f}s", file=sys.stderr)
     print(json.dumps({
         "metric": "synthetic_mono_tracking_fps",
         "value": round(fps, 2),

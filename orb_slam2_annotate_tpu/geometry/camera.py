@@ -40,7 +40,13 @@ class CameraModel(NamedTuple):
     @staticmethod
     def create(fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0, bf=0.0,
                width=640, height=480) -> "CameraModel":
-        f = lambda v: jnp.asarray(v, jnp.float32)
+        # HOST scalars, not device arrays: float(cam.fx) on a device
+        # scalar is a device->host read, which permanently degrades the
+        # axon remote-TPU session to a ~25 ms dispatch floor (see
+        # pipeline/device_loop.py).  numpy scalars convert to traced
+        # literals/arrays at every jit boundary at zero cost.
+        import numpy as _np
+        f = lambda v: _np.float32(v)
         return CameraModel(f(fx), f(fy), f(cx), f(cy), f(k1), f(k2), f(p1),
                            f(p2), f(k3), f(bf), f(width), f(height))
 

@@ -659,6 +659,11 @@ def cull_keyframes(m: ms.MapState, protect_slot,
     newest = jnp.zeros((K,), bool).at[order[:3]].set(True)
     cand = m.kf_valid & ~newest & (ratio >= 0.9)
     cand = cand.at[protect_slot].set(False)
+    # cull onset: never shrink a bootstrap map (the host policy enables
+    # culling only once the map holds > 8 keyframes; this device-side
+    # gate makes the free-running path — which cannot read the count —
+    # behave identically)
+    cand &= jnp.sum(m.kf_valid) > 8
 
     # drop up to max_cull, most-redundant first
     score = jnp.where(cand, ratio, -1.0)

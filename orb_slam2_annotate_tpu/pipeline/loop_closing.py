@@ -340,7 +340,8 @@ class LoopCloser:
         self._streaks: dict[int, int] = {}
         self.loop_edges: list[tuple[int, int]] = []  # (slot_a, slot_b)
         self.n_loops_closed = 0
-        self._last_loop_kf = 0       # map.n_kf at the last closure
+        self._last_loop_kf = 0       # keyframe seq counter at last closure
+        self._seq = 0
         self._gba_pending = None     # async global BA awaiting fold-back
 
     # ------------------------------------------------------------------
@@ -384,16 +385,23 @@ class LoopCloser:
         return out
 
     def resolve_detection(self, m: ms.MapState, slot: int,
-                          det: LoopDetectOut):
+                          det: LoopDetectOut, seq_i: int | None = None):
         """Host half: consistency streaks over consecutive keyframes
         (DetectLoop's nCovisibilityConsistencyTh=3 groups), then — rarely
-        — the Sim3 + loop correction.  Returns (map, closed)."""
+        — the Sim3 + loop correction.  Returns (map, closed).
+
+        seq_i: monotonic keyframe sequence number for cooldown
+        bookkeeping — pass it when replaying detection offline over an
+        already-built map (device_loop._replay_loops), where m.n_kf is
+        the FINAL count for every call and cannot order the replay."""
         cfg = self.cfg
         # cooldown: no closures within cooldown_kf keyframes of startup or
         # the previous closure (mnId < mLastLoopKFid+10, LoopClosing.cc:110);
         # keyed on the map's monotonic keyframe counter like the reference's
         # keyframe ids
-        if int(m.n_kf) < self._last_loop_kf + cfg.cooldown_kf:
+        seq = int(m.n_kf) if seq_i is None else seq_i
+        self._seq = seq
+        if seq < self._last_loop_kf + cfg.cooldown_kf:
             self._streaks = {}
             return m, False
         cands_np = np.asarray(det.cands)
@@ -447,7 +455,7 @@ class LoopCloser:
         m = self._correct_loop(m, slot, matched_cand, s12, R12, t12)
         self._streaks = {}
         self.n_loops_closed += 1
-        self._last_loop_kf = int(m.n_kf)
+        self._last_loop_kf = self._seq
         return m, True
 
     def on_keyframe(self, m: ms.MapState, slot: int):

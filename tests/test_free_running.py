@@ -1,0 +1,130 @@
+"""Free-running (zero-read) device loop: the whole SLAM state machine as
+one jitted program per frame (pipeline/device_loop.py).
+
+The host never reads device values during the sequence; everything is
+recovered from the rings at finish().  These tests verify the
+free-running path initializes, tracks, inserts keyframes, and lands an
+ATE in the same class as the synchronous System on the same sequence.
+"""
+
+import numpy as np
+import pytest
+
+from orb_slam2_annotate_tpu.geometry import CameraModel
+from orb_slam2_annotate_tpu.io import evaluation, synthetic
+from orb_slam2_annotate_tpu.pipeline import SlamConfig, System
+from orb_slam2_annotate_tpu.pipeline.device_loop import FreeRunner
+
+CAM = CameraModel.create(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
+                         width=320, height=240)
+
+
+def _cfg(**kw):
+    base = dict(n_features=512, n_levels=4, max_kf=32, max_mp=8192,
+                max_frames_between_kf=6, init_min_matches=60,
+                enable_loop_closing=False)
+    base.update(kw)
+    return SlamConfig(**base)
+
+
+@pytest.mark.slow
+def test_free_running_mono_tracks_and_maps():
+    n_frames = 24
+    scene = synthetic.PlaneScene(seed=1)
+    poses = synthetic.orbit_trajectory(n_frames, step=0.05)
+
+    runner = FreeRunner(CAM, _cfg(), max_frames=n_frames)
+    for k, (R, t) in enumerate(poses):
+        img, _ = scene.render(CAM, R, t, h=240, w=320)
+        runner.track_mono(np.clip(img, 0, 255).astype(np.uint8), k / 30.0)
+    out = runner.finish(resolve_loops=False)
+
+    ok = [k for k, T in out["trajectory"] if T is not None]
+    # mono init on the small-baseline orbit legitimately takes ~10 frames
+    # (2.5 deg parallax gate); after it, every frame must track
+    assert len(ok) >= 10, f"tracked {len(ok)}/{n_frames}"
+    assert all(T is not None for k, T in out["trajectory"][ok[0]:]), \
+        "tracking dropped out after initialization"
+    assert out["n_keyframes"] >= 3
+    assert out["n_mappoints"] > 100
+
+    est, gt = [], []
+    for k, T in out["trajectory"]:
+        if T is None:
+            continue
+        est.append(-T[:3, :3].T @ T[:3, 3])
+        Rg, tg = poses[k]
+        gt.append(-Rg.T @ tg)
+    rmse, _ = evaluation.ate_rmse(np.stack(est), np.stack(gt),
+                                  with_scale=True)
+    assert rmse < 0.10, f"free-running ATE {rmse:.3f} m"
+
+
+@pytest.mark.slow
+def test_free_running_matches_sync_class():
+    """Free-running and synchronous paths on the same sequence must land
+    in the same accuracy class (identical device programs, different
+    orchestration)."""
+    n_frames = 32
+    scene = synthetic.PlaneScene(seed=3)
+    poses = synthetic.orbit_trajectory(n_frames, step=0.05)
+    frames = [np.clip(scene.render(CAM, R, t, h=240, w=320)[0],
+                      0, 255).astype(np.uint8) for R, t in poses]
+
+    runner = FreeRunner(CAM, _cfg(), max_frames=n_frames)
+    for k, img in enumerate(frames):
+        runner.track_mono(img, k / 30.0)
+    out = runner.finish(resolve_loops=False)
+
+    slam = System(CAM, _cfg())
+    for k, img in enumerate(frames):
+        slam.track_mono(img, k / 30.0)
+    slam.flush()
+
+    def ate(traj):
+        est, gt = [], []
+        for k, T in traj:
+            if T is None:
+                continue
+            est.append(-T[:3, :3].T @ T[:3, 3])
+            Rg, tg = poses[k]
+            gt.append(-Rg.T @ tg)
+        return evaluation.ate_rmse(np.stack(est), np.stack(gt),
+                                   with_scale=True)[0]
+
+    a_free = ate(out["trajectory"])
+    a_sync = ate(slam.frame_trajectory())
+    assert a_free < max(3.0 * a_sync, 0.05), \
+        f"free {a_free:.4f} vs sync {a_sync:.4f}"
+
+
+@pytest.mark.slow
+def test_free_running_rgbd():
+    n_frames = 16
+    scene = synthetic.PlaneScene(seed=2)
+    poses = synthetic.orbit_trajectory(n_frames, step=0.05)
+    cam = CameraModel.create(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
+                             width=320, height=240, bf=250.0 * 0.08)
+
+    runner = FreeRunner(cam, _cfg(sensor="rgbd", th_depth=100.0),
+                        max_frames=n_frames)
+    for k, (R, t) in enumerate(poses):
+        img, dep = scene.render(cam, R, t, h=240, w=320)
+        runner.track_rgbd(np.clip(img, 0, 255).astype(np.uint8), dep,
+                          k / 30.0)
+    out = runner.finish(resolve_loops=False)
+    ok = [k for k, T in out["trajectory"] if T is not None]
+    assert len(ok) > 0.6 * n_frames
+    assert out["n_keyframes"] >= 2
+
+    est, gt = [], []
+    for k, T in out["trajectory"]:
+        if T is None:
+            continue
+        est.append(-T[:3, :3].T @ T[:3, 3])
+        Rg, tg = poses[k]
+        gt.append(-Rg.T @ tg)
+    # metric scale (no Sim3): RGB-D fixes scale
+    rmse, _ = evaluation.ate_rmse(np.stack(est), np.stack(gt),
+                                  with_scale=False)
+    assert rmse < 0.15, f"free-running RGB-D ATE {rmse:.3f} m"
