@@ -284,6 +284,65 @@ class RoomScene(PlaneScene):
                             np.array([0, 0, -2 * h]), make_texture()))
 
 
+def make_structured_texture(rng: np.random.RandomState,
+                            tex_size: int = 768) -> np.ndarray:
+    """Shape-rich texture: overlapping rectangles, circles and stripe
+    bands on a smooth gradient — the synthetic analog of posters,
+    furniture edges and wall panels in indoor footage.  High-contrast
+    REPEATED local structure (corners of axis-aligned shapes look alike)
+    is exactly what starves descriptor matching relative to the noise
+    textures, which are globally unique by construction."""
+    t = np.zeros((tex_size, tex_size), np.float32)
+    yy, xx = np.mgrid[0:tex_size, 0:tex_size].astype(np.float32)
+    # smooth background gradient
+    t += 40.0 + 30.0 * (xx / tex_size) + 20.0 * (yy / tex_size)
+    # rectangles
+    for _ in range(60):
+        x0, y0 = rng.randint(0, tex_size - 40, 2)
+        w, h = rng.randint(20, 160, 2)
+        shade = rng.uniform(30, 230)
+        t[y0:y0 + h, x0:x0 + w] = 0.35 * t[y0:y0 + h, x0:x0 + w] + 0.65 * shade
+    # circles
+    for _ in range(30):
+        cx, cy = rng.randint(40, tex_size - 40, 2)
+        r = rng.randint(10, 60)
+        shade = rng.uniform(30, 230)
+        mask = (xx - cx) ** 2 + (yy - cy) ** 2 < r * r
+        t[mask] = 0.3 * t[mask] + 0.7 * shade
+    # stripe bands
+    for _ in range(6):
+        y0 = rng.randint(0, tex_size - 30)
+        h = rng.randint(8, 24)
+        period = rng.randint(16, 48)
+        shade = rng.uniform(40, 220)
+        stripes = ((xx[y0:y0 + h] // period) % 2).astype(np.float32)
+        t[y0:y0 + h] = np.where(stripes > 0, shade, t[y0:y0 + h])
+    return np.clip(t, 5, 250)
+
+
+class StructuredScene(PlaneScene):
+    """PlaneScene geometry with shape-rich (non-noise) textures — the
+    texture class that exposed local-map association decay in round 2
+    (RESULTS.md): repeated high-contrast structure defeats descriptor
+    uniqueness, so the pipeline must survive on geometric gating."""
+
+    def __init__(self, seed: int = 0, tex_size: int = 768):
+        rng = np.random.RandomState(seed)
+        self.planes = []
+        self.planes.append((np.array([-6.0, -4.0, 9.0]), np.array([12.0, 0, 0]),
+                            np.array([0, 8.0, 0]),
+                            make_structured_texture(rng, tex_size)))
+        self.planes.append((np.array([-6.0, 2.0, 9.5]), np.array([12.0, 0, 0]),
+                            np.array([0, 0.0, -8.0]),
+                            make_structured_texture(rng, tex_size)))
+        self.planes.append((np.array([-2.5, -1.5, 6.5]), np.array([2.0, 0, 0.3]),
+                            np.array([0, 2.0, 0]),
+                            make_structured_texture(rng, tex_size)))
+        self.planes.append((np.array([1.0, -1.0, 5.5]), np.array([1.8, 0, -0.4]),
+                            np.array([0, 1.8, 0]),
+                            make_structured_texture(rng, tex_size)))
+
+
 def circle_trajectory(n_frames: int, radius: float = 1.0,
                       turns: float = 1.0):
     """Outward-facing camera moving on a circle (world->cam poses).

@@ -130,7 +130,7 @@ def _extract_jit(image: jnp.ndarray, tab: orb.OrbTables,
             jnp.concatenate([feats.response, jnp.zeros((pad,), jnp.float32)]),
             jnp.concatenate([feats.octave, jnp.zeros((pad,), jnp.int32)]),
             jnp.concatenate([feats.angle, jnp.zeros((pad,), jnp.float32)]),
-            jnp.concatenate([feats.desc, jnp.zeros((pad, 8), jnp.uint32)]),
+            jnp.concatenate([feats.desc, jnp.zeros((pad, orb.DESC_WORDS), jnp.uint32)]),
             jnp.concatenate([feats.valid, jnp.zeros((pad,), bool)]),
         )
     elif n > cfg.n_features:

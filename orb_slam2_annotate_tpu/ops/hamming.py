@@ -14,14 +14,16 @@ import os
 import jax
 import jax.numpy as jnp
 
-MAX_DIST = 256
+from .orb import N_BITS
+
+MAX_DIST = N_BITS  # "unmatched" sentinel (> any real distance after gates)
 _USE_PALLAS = os.environ.get("ORBTPU_USE_PALLAS", "0") == "1"
 
 
 def hamming_pairwise(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """All-pairs Hamming distances.
 
-    a: [N, 8] u32, b: [M, 8] u32 -> [N, M] i32 in [0, 256].
+    a: [N, W] u32, b: [M, W] u32 -> [N, M] i32 in [0, 32*W].
     With ORBTPU_USE_PALLAS=1 the tiled Pallas kernel is used instead of
     the XLA expression (see ops/pallas_kernels.py).
     """

@@ -24,15 +24,15 @@ import jax.numpy as jnp
 from .hamming import MAX_DIST, hamming_pairwise, masked_min2
 
 # Acceptance thresholds.  The reference uses 50/100 for OpenCV's learned
-# ORB pattern (ORBmatcher.cc:37-39); ours are re-tuned to this pattern's
-# measured matched/random Hamming statistics (tools/eval_descriptors.py
-# on the view-stability-trained pattern, ops/pattern_train.py): matched
-# p50=45 p75=68, random p5=69 p50=103 -> TH_LOW at matched~p70,
-# TH_HIGH just under random p25.
-# (one notch looser than the frontal-view suggestion: tracking must
-# also survive oblique views whose matched distances run ~10 higher)
-TH_LOW = 68
-TH_HIGH = 95
+# 256-bit ORB pattern (ORBmatcher.cc:37-39); ours are re-tuned to the
+# 512-bit margin-trained pattern's measured matched/random Hamming
+# statistics (tools/eval_descriptors.py on the pattern from
+# ops/pattern_train.py): matched p50=104 p75=159, random p5=143 p25=184
+# -> TH_LOW at matched ~p75 (oblique views run high — RoomScene wall
+# tracking dies below this), TH_HIGH between random p25 and p50 (the
+# window/octave gates + ratio test carry the selectivity there).
+TH_LOW = 134
+TH_HIGH = 184
 HISTO_LENGTH = 30
 
 

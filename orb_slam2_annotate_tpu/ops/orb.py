@@ -13,7 +13,7 @@ validated at the trajectory-ATE level instead (see SURVEY.md §7 "hard
 parts": bit-exactness vs OpenCV is impossible anyway).
 
 All sampling is expressed as one big gather per level: [N, 512] pixel
-fetches from the blurred level image, then bit packing to [N, 8] uint32.
+fetches from the blurred level image, then bit packing to [N, DESC_WORDS] uint32.
 
 TPU/axon note: the sampling tables are kept as NUMPY module constants and
 shipped to the device ONCE via `tables()`, then passed to every jitted
@@ -33,7 +33,11 @@ import jax.numpy as jnp
 
 HALF_PATCH = 15  # orientation patch radius (reference ORBextractor.cc:74)
 PATTERN_RADIUS = 13  # BRIEF sample points stay within this radius
-N_BITS = 256
+N_BITS = 512  # TPU-first: 2x the reference's 256 (ORBextractor.cc
+# bit_pattern_31_) — matching FLOPs are nearly free on the VPU and the
+# extra bits buy matched-vs-random margin that 256-bit BRIEF lacks on
+# low-distinctiveness texture (fuse/loop regressions, RESULTS.md r3)
+DESC_WORDS = N_BITS // 32
 
 
 def _make_pattern(seed: int = 17) -> np.ndarray:
@@ -101,7 +105,7 @@ class OrbTables(NamedTuple):
     grid_x: jnp.ndarray       # [31,31] f32 x-moment weights
     grid_y: jnp.ndarray       # [31,31] f32 y-moment weights
     circ_mask: jnp.ndarray    # [31,31] f32 circular patch mask
-    rot_offsets: jnp.ndarray  # [B,512,2] i32 steered BRIEF offsets
+    rot_offsets: jnp.ndarray  # [B,2*N_BITS,2] i32 steered BRIEF offsets
 
 
 _TABLES: OrbTables | None = None
@@ -165,7 +169,7 @@ N_ANGLE_BINS = 32  # steering-angle quantization (OpenCV ORB uses 30 x 12deg)
 
 
 def _rotated_offset_table() -> np.ndarray:
-    """Precomputed nearest-pixel rotated pattern offsets, [B, 512, 2] (dy, dx).
+    """Precomputed nearest-pixel rotated pattern offsets, [B, 2*N_BITS, 2] (dy, dx).
 
     The reference steers the pattern with the exact angle but rounds each
     sample to the nearest pixel (computeOrbDescriptor, ORBextractor.cc:111
@@ -173,9 +177,9 @@ def _rotated_offset_table() -> np.ndarray:
     to 12-degree bins.  Quantizing to B=32 bins lets the whole steering be
     a static table so descriptor sampling is ONE gather instead of eight.
     """
-    pat = _load_pattern().astype(np.float64)  # [256, 4] (py, px, qy, qx)
-    pts = np.concatenate([pat[:, 0:2], pat[:, 2:4]], axis=0)  # [512] (y, x)
-    out = np.zeros((N_ANGLE_BINS, 512, 2), np.int32)
+    pat = _load_pattern().astype(np.float64)  # [N_BITS, 4] (py, px, qy, qx)
+    pts = np.concatenate([pat[:, 0:2], pat[:, 2:4]], axis=0)  # [2*N_BITS] (y, x)
+    out = np.zeros((N_ANGLE_BINS, 2 * N_BITS, 2), np.int32)
     for b in range(N_ANGLE_BINS):
         a = 2.0 * np.pi * b / N_ANGLE_BINS
         ca, sa = np.cos(a), np.sin(a)
@@ -186,7 +190,7 @@ def _rotated_offset_table() -> np.ndarray:
     return out
 
 
-ROT_OFFSETS = _rotated_offset_table()  # [B, 512, 2] numpy (device: tables())
+ROT_OFFSETS = _rotated_offset_table()  # [B, 2*N_BITS, 2] numpy (device: tables())
 
 
 def brief_descriptors(blurred: jnp.ndarray, kps: jnp.ndarray, angles: jnp.ndarray,
@@ -196,7 +200,7 @@ def brief_descriptors(blurred: jnp.ndarray, kps: jnp.ndarray, angles: jnp.ndarra
     blurred: [H, W] f32 blurred level image.
     kps: [N,2] (x,y) level coords; angles [N] radians.
     tab: sampling tables; REQUIRED when called inside jit.
-    Returns [N, 8] uint32 (256 bits).
+    Returns [N, DESC_WORDS] uint32 (N_BITS bits).
     """
     if tab is None:
         tab = tables()
@@ -205,17 +209,17 @@ def brief_descriptors(blurred: jnp.ndarray, kps: jnp.ndarray, angles: jnp.ndarra
     bin_ = jnp.round(
         (angles % two_pi) / (two_pi / N_ANGLE_BINS)
     ).astype(jnp.int32) % N_ANGLE_BINS
-    off = tab.rot_offsets[bin_]                      # [N, 512, 2]
+    off = tab.rot_offsets[bin_]                      # [N, 2*N_BITS, 2]
 
     yk = jnp.round(kps[:, 1]).astype(jnp.int32)[:, None]
     xk = jnp.round(kps[:, 0]).astype(jnp.int32)[:, None]
     yy = jnp.clip(yk + off[..., 0], 0, h - 1)
     xx = jnp.clip(xk + off[..., 1], 0, w - 1)
-    vals = jnp.take(blurred.reshape(-1), yy * w + xx)  # [N, 512], one gather
-    bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.uint32)
+    vals = jnp.take(blurred.reshape(-1), yy * w + xx)  # [N, 2*N_BITS]
+    bits = (vals[:, :N_BITS] < vals[:, N_BITS:]).astype(jnp.uint32)
 
-    # pack into 8 uint32 words, little-endian bit order within each word
-    words = bits.reshape(bits.shape[0], 8, 32)
+    # pack into uint32 words, little-endian bit order within each word
+    words = bits.reshape(bits.shape[0], DESC_WORDS, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     packed = jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
     return jnp.where(valid[:, None], packed, 0)

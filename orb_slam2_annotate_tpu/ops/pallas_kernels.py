@@ -110,7 +110,7 @@ def fast_score_map_pallas(img: jnp.ndarray, threshold_lo: float,
 
 
 def _hamming_tile_kernel(a_ref, b_ref, out_ref):
-    """a: [TM, 8] u32; b: [N2, 8] u32; out: [TM, N2] i32."""
+    """a: [TM, W] u32; b: [N2, W] u32; out: [TM, N2] i32."""
     a = a_ref[:]
     b = b_ref[:]
     x = a[:, None, :] ^ b[None, :, :]
@@ -128,13 +128,14 @@ def hamming_pairwise_pallas(a: jnp.ndarray, b: jnp.ndarray,
     tm = min(128, n1)
     n_tiles = pl.cdiv(n1, tm)
     n1_pad = n_tiles * tm
-    a_pad = jnp.zeros((n1_pad, 8), a.dtype).at[:n1].set(a)
+    W = a.shape[-1]
+    a_pad = jnp.zeros((n1_pad, W), a.dtype).at[:n1].set(a)
 
     out = pl.pallas_call(
         _hamming_tile_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tm, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, n2), lambda i: (i, 0),

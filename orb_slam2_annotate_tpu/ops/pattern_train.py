@@ -40,62 +40,75 @@ def _bilinear(img: np.ndarray, y: np.ndarray, x: np.ndarray) -> np.ndarray:
     )
 
 
-def _corpus_pairs(n_scenes: int = 5, kps_per_scene: int = 350,
-                  view_offset: int = 4):
+def _corpus_pairs(n_scenes: int = 12, kps_per_scene: int = 400,
+                  view_offsets: tuple = (2, 5)):
     """Matched keypoints in two views: (img_a, img_b, xy_a, xy_b, ang_a, ang_b).
 
     Correspondences come from the renderer's exact depth maps, so the
     corpus contains genuine wide-ish-baseline repeats (view_offset frames
     apart), which is what the flip-rate term needs to be meaningful.
+
+    Round-3 corpus: noise textures (Plane/Blob) PLUS shape-rich
+    structured textures — fuse/loop regressions traced to descriptor
+    confusion on repeated structure, so the pattern must be learned
+    against it — at TWO baselines (small for tracking-grade stability,
+    wide for loop/reloc-grade).
     """
     import jax.numpy as jnp
 
     from ..geometry.camera import CameraModel
-    from ..io.synthetic import (BlobScene, PlaneScene, orbit_trajectory,
-                                true_correspondence)
+    from ..io.synthetic import (BlobScene, PlaneScene, StructuredScene,
+                                orbit_trajectory, true_correspondence)
     from ..ops import extractor as ex
     from ..ops import pyramid
 
     cam = CameraModel.create(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
                              width=320, height=240)
     cfg = ex.ExtractorConfig(n_features=512, n_levels=2)
-    poses = orbit_trajectory(view_offset + 1, step=0.06)
+    poses = orbit_trajectory(max(view_offsets) + 1, step=0.06)
     out = []
+    makers = (lambda s: PlaneScene(seed=s),
+              lambda s: BlobScene(seed=s),
+              lambda s: StructuredScene(seed=s))
     for seed in range(n_scenes):
-        scene = (PlaneScene(seed=seed + 100) if seed % 2 == 0
-                 else BlobScene(seed=seed + 100))
+        scene = makers[seed % 3](seed + 100)
         Ra, ta = poses[0]
-        Rb, tb = poses[view_offset]
         img_a, dep_a = scene.render(cam, Ra, ta, h=240, w=320)
-        img_b, _ = scene.render(cam, Rb, tb, h=240, w=320)
         fa = ex.extract(jnp.asarray(img_a), cfg)
-        fb = ex.extract(jnp.asarray(img_b), cfg)
         blur_a = np.asarray(pyramid.gaussian_blur(jnp.asarray(img_a)))
-        blur_b = np.asarray(pyramid.gaussian_blur(jnp.asarray(img_b)))
         xa, va = np.asarray(fa.xy), np.asarray(fa.valid) & (np.asarray(fa.octave) == 0)
-        xb, vb = np.asarray(fb.xy), np.asarray(fb.valid) & (np.asarray(fb.octave) == 0)
-        aa, ab = np.asarray(fa.angle), np.asarray(fb.angle)
-        xb_pred, okc = true_correspondence(cam, Ra, ta, Rb, tb, dep_a, xa)
-        r = PATCH_R + 3
-        cnt = 0
-        for i in np.nonzero(va & okc)[0]:
-            j = np.argmin(((xb - xb_pred[i]) ** 2).sum(1) + 1e9 * (~vb))
-            if ((xb[j] - xb_pred[i]) ** 2).sum() > 4:
-                continue
-            if not (r <= xa[i, 0] < 320 - r and r <= xa[i, 1] < 240 - r):
-                continue
-            if not (r <= xb[j, 0] < 320 - r and r <= xb[j, 1] < 240 - r):
-                continue
-            out.append((blur_a, blur_b, xa[i], xb[j], aa[i], ab[j]))
-            cnt += 1
-            if cnt >= kps_per_scene:
-                break
+        aa = np.asarray(fa.angle)
+        for off in view_offsets:
+            Rb, tb = poses[off]
+            img_b, _ = scene.render(cam, Rb, tb, h=240, w=320)
+            fb = ex.extract(jnp.asarray(img_b), cfg)
+            blur_b = np.asarray(pyramid.gaussian_blur(jnp.asarray(img_b)))
+            xb, vb = np.asarray(fb.xy), np.asarray(fb.valid) & (np.asarray(fb.octave) == 0)
+            ab = np.asarray(fb.angle)
+            xb_pred, okc = true_correspondence(cam, Ra, ta, Rb, tb, dep_a, xa)
+            r = PATCH_R + 3
+            cnt = 0
+            for i in np.nonzero(va & okc)[0]:
+                j = np.argmin(((xb - xb_pred[i]) ** 2).sum(1) + 1e9 * (~vb))
+                if ((xb[j] - xb_pred[i]) ** 2).sum() > 4:
+                    continue
+                if not (r <= xa[i, 0] < 320 - r and r <= xa[i, 1] < 240 - r):
+                    continue
+                if not (r <= xb[j, 0] < 320 - r and r <= xb[j, 1] < 240 - r):
+                    continue
+                out.append((blur_a, blur_b, xa[i], xb[j], aa[i], ab[j]))
+                cnt += 1
+                if cnt >= kps_per_scene:
+                    break
     return out
 
 
-def learn_pattern(n_bits: int = 256, n_candidates: int = 6000,
+def learn_pattern(n_bits: int | None = None, n_candidates: int = 12000,
                   corr_thresh: float = 0.3, max_flip: float = 0.08,
                   seed: int = 7, verbose: bool = True) -> np.ndarray:
+    if n_bits is None:
+        from .orb import N_BITS as n_bits_mod
+        n_bits = n_bits_mod
     rng = np.random.RandomState(seed)
     pairs = _corpus_pairs()
     n_kp = len(pairs)
@@ -124,14 +137,23 @@ def learn_pattern(n_bits: int = 256, n_candidates: int = 6000,
         A[k] = responses(ia, xya, anga)
         B[k] = responses(ib, xyb, angb)
 
-    flip = (A != B).mean(axis=0)           # view stability
+    flip = (A != B).mean(axis=0)           # matched-pair flip rate
     mean = A.mean(axis=0)                  # balance
-    stable = flip <= max_flip
+    # random-pair disagreement: the same responses against a shuffled
+    # pairing — the bit's direct contribution to random Hamming distance
+    perm = rng.permutation(n_kp)
+    rand_flip = (A != B[perm]).mean(axis=0)
+    margin = rand_flip - flip
     if verbose:
-        print(f"candidates: {C}, stable (flip<={max_flip}): {stable.sum()}, "
-              f"median flip {np.median(flip):.3f}")
+        print(f"candidates: {C}, median flip {np.median(flip):.3f}, "
+              f"median rand {np.median(rand_flip):.3f}, "
+              f"best margin {margin.max():.3f}")
 
-    order = np.argsort(np.abs(mean - 0.5) + (~stable) * 10.0)
+    # rank by per-bit margin: each selected bit adds `flip` to every
+    # matched distance and `rand_flip` to every random distance, so the
+    # sum of margins IS the expected matched-vs-random separation (the
+    # decorrelation step below keeps the sum from double-counting)
+    order = np.argsort(-margin)
     Af = A.astype(np.float32)
     Ac = Af - Af.mean(axis=0, keepdims=True)
     norm = np.sqrt((Ac**2).sum(axis=0)) + 1e-9

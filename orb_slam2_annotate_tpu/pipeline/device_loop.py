@@ -96,7 +96,7 @@ def _empty_frame(n: int) -> Frame:
         xy=jnp.zeros((n, 2)), xy_raw=jnp.zeros((n, 2)),
         ur=jnp.full((n,), -1.0), depth=jnp.zeros((n,)),
         octave=jnp.zeros((n,), jnp.int32), angle=jnp.zeros((n,)),
-        response=jnp.zeros((n,)), desc=jnp.zeros((n, 8), jnp.uint32),
+        response=jnp.zeros((n,)), desc=jnp.zeros((n, orb.DESC_WORDS), jnp.uint32),
         valid=jnp.zeros((n,), bool),
     )
 

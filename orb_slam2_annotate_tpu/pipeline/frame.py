@@ -170,7 +170,7 @@ def _make_frame_stereo(image_l, image_r, cam: CameraModel,
     from ..ops import matching as _matching
 
     d = hamming_pairwise(fl.desc, fr.desc)
-    dm = jnp.where(cand, d, 512)
+    dm = jnp.where(cand, d, 2048)  # sentinel > any real Hamming distance
     best = jnp.argmin(dm, axis=1)
     bestd = jnp.take_along_axis(dm, best[:, None], axis=1)[:, 0]
     # acceptance at the tuned TH_HIGH (reference uses thOrbDist =

@@ -151,25 +151,44 @@ def _fundamental_between(cam: CameraModel, R1, t1, R2, t2):
 
 @partial(jax.jit, static_argnums=(3,), static_argnames=("update_stats",))
 def create_new_mappoints(m: ms.MapState, cam: CameraModel, slot,
-                         n_neighbors: int = 10,
+                         n_neighbors: int = 20,
                          update_stats: bool = True) -> ms.MapState:
     """Triangulate new points between the new keyframe and its best
-    covisible neighbors (CreateNewMapPoints, LocalMapping.cc:253-509).
+    covisible neighbors (CreateNewMapPoints, LocalMapping.cc:253-509;
+    20 mono neighbors like the reference).
 
     TPU shape: per-neighbor epipolar-gated dense matching (static
     n_neighbors), then each unmatched feature keeps its single best
     neighbor match, all triangulations happen as one vmapped batch, and
     surviving candidates are scattered into free map-point slots.
+
+    Neighbor SELECTION applies the baseline/median-depth gate
+    (LocalMapping.cc:294-310): ranking purely by covisibility picks the
+    temporally-closest keyframes, whose baselines are too short to
+    triangulate — under a fast keyframe cadence every selected neighbor
+    then fails the gate and map-point creation starves exactly when the
+    view turns to fresh scenery (the r2 'association decay', RESULTS.md).
     """
     K, P, N = m.K, m.P, m.N
     n_neighbors = min(n_neighbors, K - 1)  # small-capacity maps
     W = ms.covisibility(m)
-    w_slot = jnp.where(m.kf_valid, W[slot], -1).at[slot].set(-1)
-    _, nbrs = jax.lax.top_k(w_slot, n_neighbors)
-    nbr_ok = w_slot[nbrs] > 0
 
     R1, t1 = m.kf_R[slot], m.kf_t[slot]
     c1 = -R1.T @ t1
+
+    # median scene depth of the NEW keyframe (for the selection gate)
+    obs_s = m.kf_obs[slot]
+    has_s = (obs_s >= 0) & m.kf_feat_valid[slot]
+    zs_s = jnp.where(
+        has_s, (m.mp_pos[jnp.clip(obs_s, 0)] @ R1.T + t1)[:, 2], jnp.nan)
+    med_depth_s = jnp.nan_to_num(jnp.nanmedian(zs_s), nan=1.0)
+    cam_c = -jnp.einsum("kij,ki->kj", m.kf_R, m.kf_t)       # [K,3]
+    base_all = jnp.linalg.norm(cam_c - c1, axis=-1)          # [K]
+    base_ok = base_all / jnp.maximum(med_depth_s, 1e-6) > 0.01
+
+    w_slot = jnp.where(m.kf_valid & base_ok, W[slot], -1).at[slot].set(-1)
+    _, nbrs = jax.lax.top_k(w_slot, n_neighbors)
+    nbr_ok = w_slot[nbrs] > 0
     f1 = Frame(
         xy=m.kf_xy[slot], xy_raw=m.kf_xy[slot], ur=m.kf_ur[slot],
         depth=m.kf_depth[slot], octave=m.kf_octave[slot],
@@ -204,65 +223,78 @@ def create_new_mappoints(m: ms.MapState, cam: CameraModel, slot,
             f1, f2, F12, inv_s2, inv_s2, exclude1=has1, exclude2=has2
         )
         ok = res.matched & ok_baseline
-        return jnp.where(ok, res.idx, -1), jnp.where(ok, res.dist, 512)
+        return jnp.where(ok, res.idx, -1), jnp.where(ok, res.dist, 2048)
 
     idxs, dists = jax.vmap(match_neighbor)(nbrs)  # [NB, N] each
     idxs = jnp.where(nbr_ok[:, None], idxs, -1)
-    dists = jnp.where(nbr_ok[:, None] & (idxs >= 0), dists, 512)
+    dists = jnp.where(nbr_ok[:, None] & (idxs >= 0), dists, 2048)
 
-    # each f1 feature keeps its best neighbor
-    best_nb = jnp.argmin(dists, axis=0)  # [N]
-    best_idx = jnp.take_along_axis(idxs, best_nb[None, :], axis=0)[0]  # [N]
-    has_match = best_idx >= 0
-
-    nb_sel = nbrs[best_nb]  # [N] neighbor kf slot per feature
-    R2 = m.kf_R[nb_sel]
-    t2 = m.kf_t[nb_sel]
-    K1 = cam.K
-    P1 = K1 @ jnp.concatenate([R1, t1[:, None]], axis=1)  # [3,4]
-    P2 = jnp.einsum("ij,njk->nik", K1,
-                    jnp.concatenate([R2, t2[:, :, None]], axis=2))  # [N,3,4]
-
+    # --- triangulate and gate EVERY (neighbor, feature) pair, then let
+    # each feature keep its best VALID pair.  Collapsing to the best-
+    # descriptor neighbor FIRST (the r2 design) routes most features to
+    # the temporally-closest match, which then dies on the parallax gate
+    # — the reference avoids this by looping every pair
+    # (CreateNewMapPoints, LocalMapping.cc:285).  [NB, N] batched DLT is
+    # a few thousand tiny solves — negligible on TPU.
+    K1m = cam.K
+    P1 = K1m @ jnp.concatenate([R1, t1[:, None]], axis=1)  # [3,4]
     x1 = m.kf_xy[slot]
-    x2 = m.kf_xy[nb_sel, jnp.clip(best_idx, 0)]
-    X = jax.vmap(triangulate_dlt, in_axes=(None, 0, 0, 0))(P1, P2, x1, x2)
-
-    # validity: cheirality both views, reprojection chi2, scale consistency
-    xc1 = X @ R1.T + t1
-    xc2 = jnp.einsum("nij,nj->ni", R2, X) + t2
-    uv1 = project(cam, xc1)
-    uv2 = project(cam, xc2)
     s2_1 = SCALE ** (2.0 * m.kf_octave[slot].astype(jnp.float32))
-    oct2 = m.kf_octave[nb_sel, jnp.clip(best_idx, 0)]
-    s2_2 = SCALE ** (2.0 * oct2.astype(jnp.float32))
-    e1 = jnp.sum((uv1 - x1) ** 2, axis=1)
-    e2 = jnp.sum((uv2 - x2) ** 2, axis=1)
-    # parallax between rays; c2 = -R2^T t2
-    c2v = -jnp.einsum("nji,nj->ni", R2, t2)
-    r1v = X - c1
-    r2v = X - c2v
-    cosp = jnp.sum(r1v * r2v, axis=1) / jnp.maximum(
-        jnp.linalg.norm(r1v, axis=1) * jnp.linalg.norm(r2v, axis=1), 1e-9
-    )
-    # scale consistency (LocalMapping.cc:474-494)
-    d1 = jnp.linalg.norm(r1v, axis=1)
-    d2 = jnp.linalg.norm(r2v, axis=1)
-    ratio_d = d1 / jnp.maximum(d2, 1e-9)
-    ratio_o = (SCALE ** m.kf_octave[slot].astype(jnp.float32)) / (
-        SCALE ** oct2.astype(jnp.float32)
-    )
-    scale_ok = (ratio_d < ratio_o * SCALE * 1.5) & (ratio_d * SCALE * 1.5 > ratio_o)
 
-    good = (
-        has_match
-        & jnp.all(jnp.isfinite(X), axis=1)
-        & (xc1[:, 2] > 0)
-        & (xc2[:, 2] > 0)
-        & (e1 < 5.991 * s2_1)
-        & (e2 < 5.991 * s2_2)
-        & (cosp < 0.9998)
-        & scale_ok
-    )
+    def tri_neighbor(nb, idx):
+        """Triangulate + gate one neighbor's matches: returns
+        (good [N], X [N,3], cosp [N])."""
+        has = idx >= 0
+        idc = jnp.clip(idx, 0)
+        R2, t2 = m.kf_R[nb], m.kf_t[nb]
+        P2 = K1m @ jnp.concatenate([R2, t2[:, None]], axis=1)
+        x2 = m.kf_xy[nb, idc]
+        X = jax.vmap(triangulate_dlt, in_axes=(None, None, 0, 0))(
+            P1, P2, x1, x2)
+        xc1 = X @ R1.T + t1
+        xc2 = X @ R2.T + t2
+        uv1 = project(cam, xc1)
+        uv2 = project(cam, xc2)
+        oct2 = m.kf_octave[nb, idc]
+        s2_2 = SCALE ** (2.0 * oct2.astype(jnp.float32))
+        e1 = jnp.sum((uv1 - x1) ** 2, axis=1)
+        e2 = jnp.sum((uv2 - x2) ** 2, axis=1)
+        c2v = -R2.T @ t2
+        r1v = X - c1
+        r2v = X - c2v
+        cosp = jnp.sum(r1v * r2v, axis=1) / jnp.maximum(
+            jnp.linalg.norm(r1v, axis=1) * jnp.linalg.norm(r2v, axis=1),
+            1e-9)
+        d1 = jnp.linalg.norm(r1v, axis=1)
+        d2 = jnp.linalg.norm(r2v, axis=1)
+        ratio_d = d1 / jnp.maximum(d2, 1e-9)
+        ratio_o = (SCALE ** m.kf_octave[slot].astype(jnp.float32)) / (
+            SCALE ** oct2.astype(jnp.float32))
+        scale_ok = ((ratio_d < ratio_o * SCALE * 1.5)
+                    & (ratio_d * SCALE * 1.5 > ratio_o))
+        good = (
+            has
+            & jnp.all(jnp.isfinite(X), axis=1)
+            & (xc1[:, 2] > 0)
+            & (xc2[:, 2] > 0)
+            & (e1 < 5.991 * s2_1)
+            & (e2 < 5.991 * s2_2)
+            & (cosp < 0.9998)
+            & scale_ok
+        )
+        return good, X, cosp
+
+    good_all, X_all, cosp_all = jax.vmap(tri_neighbor)(nbrs, idxs)
+    # best valid pair per feature = largest parallax (smallest cosp)
+    pick_score = jnp.where(good_all, cosp_all, jnp.inf)     # [NB, N]
+    best_nb = jnp.argmin(pick_score, axis=0)                 # [N]
+    has_match = jnp.any(good_all, axis=0)
+    take_nb = best_nb[None, :]
+    best_idx = jnp.take_along_axis(idxs, take_nb, axis=0)[0]
+    X = jnp.take_along_axis(
+        X_all, take_nb[..., None], axis=0)[0]                # [N,3]
+    nb_sel = nbrs[best_nb]
+    good = has_match
 
     # --- allocate slots & write
     slots = ms.free_mp_slots(m, N)
@@ -295,7 +327,9 @@ def create_new_mappoints(m: ms.MapState, cam: CameraModel, slot,
 
 def _fuse_targets_core(m: ms.MapState, cam: CameraModel,
                        targets, tgt_ok, src_masks,
-                       max_cand: int = 1024, ratio: float = 0.9):
+                       max_cand: int = 1024, ratio: float = 0.9,
+                       do_add: bool = True, do_merge: bool = True,
+                       e2_gate: float = 2.0, max_dist: int = matching.TH_LOW):
     """Shared projection-fuse machinery (ORBmatcher::Fuse:940 +
     MapPoint::Replace:194 as a remap table).
 
@@ -350,7 +384,7 @@ def _fuse_targets_core(m: ms.MapState, cam: CameraModel,
         )
         res = matching.search_map_points(
             m.mp_desc[cand], cvalid, uv[cand], pred_oct[cand], radius, fr,
-            ratio=ratio, max_dist=matching.TH_LOW,
+            ratio=ratio, max_dist=max_dist,
         )
         # geometric gates beyond the matcher's window: tight reprojection
         # residual and (when the feature has depth) depth agreement.  The
@@ -362,7 +396,7 @@ def _fuse_targets_core(m: ms.MapState, cam: CameraModel,
         z_pt = xc[cand][:, 2]
         f_depth = m.kf_depth[tkf][tgt]
         depth_ok = (f_depth <= 0) | (jnp.abs(z_pt - f_depth) < 0.05 * f_depth)
-        ok = res.matched & (e2 < 2.0 * sig2) & depth_ok
+        ok = res.matched & (e2 < e2_gate * sig2) & depth_ok
         # per-feature best source point
         feat_pt = jnp.full((N,), -1, jnp.int32).at[tgt].max(
             jnp.where(ok, cand.astype(jnp.int32), -1)
@@ -377,8 +411,8 @@ def _fuse_targets_core(m: ms.MapState, cam: CameraModel,
     prop = feat_pt_all
     n_obs = ms.mp_observation_counts(m)
 
-    add_mask = (existing < 0) & (prop >= 0)
-    merge_mask = (existing >= 0) & (prop >= 0) & (existing != prop)
+    add_mask = (existing < 0) & (prop >= 0) & do_add
+    merge_mask = (existing >= 0) & (prop >= 0) & (existing != prop) & do_merge
     # geometric gate: only merge points that are actually close in 3D —
     # duplicates from re-triangulation are; matches on repetitive texture
     # are not (the reference trusts ORB descriptor distinctiveness here,
@@ -421,10 +455,15 @@ def _fuse_targets_core(m: ms.MapState, cam: CameraModel,
     return m._replace(kf_obs=kf_obs, mp_valid=m.mp_valid & live)
 
 
-@partial(jax.jit, static_argnums=(3,), static_argnames=("update_stats",))
+@partial(jax.jit, static_argnums=(3,),
+         static_argnames=("update_stats", "do_add", "do_merge", "e2_gate",
+                          "ratio", "max_dist"))
 def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
                    n_neighbors: int = 10,
-                   update_stats: bool = True) -> ms.MapState:
+                   update_stats: bool = True,
+                   do_add: bool = True, do_merge: bool = True,
+                   e2_gate: float = 2.0, ratio: float = 0.9,
+                   max_dist: int = matching.TH_LOW) -> ms.MapState:
     """Two-way map-point fusion with covisible neighbors
     (SearchInNeighbors, LocalMapping.cc:511-594 + ORBmatcher::Fuse:940).
 
@@ -454,7 +493,9 @@ def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
         [src_for_slot[None], jnp.broadcast_to(src_for_nbr, (n_neighbors, P))], 0
     )
 
-    m = _fuse_targets_core(m, cam, targets, tgt_ok, src_masks)
+    m = _fuse_targets_core(m, cam, targets, tgt_ok, src_masks,
+                           do_add=do_add, do_merge=do_merge,
+                           e2_gate=e2_gate, ratio=ratio, max_dist=max_dist)
     if update_stats:
         m = ms.update_mappoint_stats(m)
     return m

@@ -276,7 +276,9 @@ def fold_gba_device(m: ms.MapState, gba_R, gba_t, gba_X,
 
 @dataclasses.dataclass
 class LoopCloserConfig:
-    n_words: int = 4096
+    n_words: int = 16384  # trained 16k-word vocabulary (tools/train_vocab.py
+                          # on the mixed noise+structured corpus; the
+                          # reference ships 1e5 words, TemplatedVocabulary.h)
     consistency_th: int = 3       # consecutive-KF consistency (LoopClosing.cc:44)
     min_seed_matches: int = 15    # entry gate before Sim3 RANSAC
     min_seed_inliers: int = 6     # RANSAC inliers to SEED the guided pass
@@ -356,8 +358,10 @@ class LoopCloser:
                             "trained_vocab.npz")
         if os.path.exists(path):
             try:
+                from ..ops.orb import DESC_WORDS
                 v = voc.load_vocabulary(path)
-                if v.n_words == self.cfg.n_words:
+                if (v.n_words == self.cfg.n_words
+                        and v.words.shape[-1] == DESC_WORDS):
                     return v
             except Exception:
                 pass

@@ -71,6 +71,9 @@ class SlamConfig:
     # run by default across loop seams (SearchAndFuse) and session-merge
     # seams, where duplicates are certain and geometry is verified.
     enable_fuse: bool = False
+    # None = follow enable_fuse (fusion needs fresh stats after
+    # triangulation); set explicitly to decouple for A/B measurement
+    stats_in_triangulate: bool | None = None
     enable_cull: bool = True
     enable_local_ba: bool = True
     enable_loop_closing: bool = True
@@ -197,7 +200,7 @@ class System:
                     cfg.th_depth * baseline,
                     has_depth=has_depth,
                     do_cull_recent=cfg.enable_cull,
-                    stats_in_triangulate=cfg.enable_fuse,
+                    stats_in_triangulate=(cfg.enable_fuse if cfg.stats_in_triangulate is None else cfg.stats_in_triangulate),
                     do_fuse=cfg.enable_fuse,
                     do_local_ba=cfg.enable_local_ba,
                     do_kf_cull=do_cull,
@@ -580,7 +583,7 @@ class System:
             self.cfg.th_depth * baseline,
             has_depth=has_depth,
             do_cull_recent=self.cfg.enable_cull,
-            stats_in_triangulate=self.cfg.enable_fuse,
+            stats_in_triangulate=(self.cfg.enable_fuse if self.cfg.stats_in_triangulate is None else self.cfg.stats_in_triangulate),
             do_fuse=self.cfg.enable_fuse,
             do_local_ba=self.cfg.enable_local_ba,
             do_kf_cull=do_kf_cull,

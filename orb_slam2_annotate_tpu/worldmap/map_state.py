@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import lie
+from ..ops.orb import DESC_WORDS
 
 
 class MapState(NamedTuple):
@@ -86,12 +87,12 @@ def empty_map(max_kf: int = 256, max_mp: int = 16384, n_feat: int = 1024) -> Map
         kf_depth=jnp.zeros((K, N), jnp.float32),
         kf_octave=jnp.zeros((K, N), jnp.int32),
         kf_angle=jnp.zeros((K, N), jnp.float32),
-        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_desc=jnp.zeros((K, N, DESC_WORDS), jnp.uint32),
         kf_feat_valid=jnp.zeros((K, N), bool),
         kf_obs=jnp.full((K, N), -1, jnp.int32),
         mp_pos=jnp.zeros((P, 3), jnp.float32),
         mp_valid=jnp.zeros((P,), bool),
-        mp_desc=jnp.zeros((P, 8), jnp.uint32),
+        mp_desc=jnp.zeros((P, DESC_WORDS), jnp.uint32),
         mp_normal=jnp.zeros((P, 3), jnp.float32),
         mp_min_dist=jnp.zeros((P,), jnp.float32),
         mp_max_dist=jnp.full((P,), jnp.inf, jnp.float32),
@@ -295,7 +296,7 @@ def _stats_from_table(m: MapState, pos, obs_kf, obs_ft, obs_cnt, obs_mask):
     # ---- distinctive descriptor: min median distance among observations
     descs = m.kf_desc[obs_kf, obs_ft]  # [Q, MAX_OBS, 8]
     d = jax.vmap(hamming_pairwise)(descs, descs)  # [Q, MAX_OBS, MAX_OBS]
-    big = 512
+    big = 2048  # sentinel > any real Hamming distance
     dm = jnp.where(obs_mask[:, None, :], d, big)
     dsort = jnp.sort(dm, axis=-1)  # [Q, O, O]
     med_idx = jnp.clip((obs_cnt - 1) // 2, 0, MAX_OBS - 1)  # [Q]
@@ -304,7 +305,7 @@ def _stats_from_table(m: MapState, pos, obs_kf, obs_ft, obs_cnt, obs_mask):
     med = jnp.where(obs_mask, med, big)
     best = jnp.argmin(med, axis=1)  # [Q]
     new_desc = jnp.take_along_axis(
-        descs, best[:, None, None].repeat(8, -1), axis=1)[:, 0]
+        descs, best[:, None, None].repeat(DESC_WORDS, -1), axis=1)[:, 0]
 
     # ---- normal & depth band
     cam_centers = -jnp.einsum("kij,ki->kj", m.kf_R.transpose(0, 2, 1), m.kf_t)

@@ -86,10 +86,18 @@ def solve_inter_map_sim3(m_a, m_b, cam: CameraModel, kf_a: int, kf_b: int,
     r = sim3_solver.sim3_ransac(
         jax.random.PRNGKey(0), cam, xb, xa,
         m_a.kf_xy[kf_a], m_a.kf_xy[kf_a],  # score in A's image both ways
-        128, fix_scale, valid=res.matched,
+        1024, fix_scale, valid=res.matched,
     )
     if not bool(r.success) or int(r.n_inliers) < min_inliers:
         return None
+    # LM polish on the inlier set (OptimizeSim3, Optimizer.cc:1116 — the
+    # loop funnel does the same after its seed RANSAC); the seam Sim3
+    # sets the floor for the whole merged map's consistency
+    r2 = sim3_solver.optimize_sim3(
+        cam, r.s, r.R, r.t, xb, xa, m_a.kf_xy[kf_a], m_a.kf_xy[kf_a],
+        fix_scale, valid=res.matched & r.inliers)
+    if int(r2.n_inliers) >= min_inliers:
+        r = r2
     # camera-frame Sim3 (B cam -> A cam) to world Sim3:
     # S_wb->wa = T_a^-1 o S_cb->ca o T_b
     s_c, R_c, t_c = r.s, r.R, r.t

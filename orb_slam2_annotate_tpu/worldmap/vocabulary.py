@@ -33,12 +33,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.hamming import hamming_pairwise
+from ..ops.orb import DESC_WORDS, N_BITS
 
 
 class Vocabulary(NamedTuple):
     """Flat binary vocabulary with TF-IDF word weights.
 
-    words: [W, 8] u32 256-bit centroids
+    words: [W, DESC_WORDS] u32 N_BITS-bit centroids
     idf:   [W] f32 per-word inverse document frequency (all-ones for an
            untrained/random vocabulary -> plain TF)
     """
@@ -52,7 +53,7 @@ class Vocabulary(NamedTuple):
 
 
 def _words_idf(vocab):
-    """Accept a Vocabulary or a bare [W,8] word array (legacy callers)."""
+    """Accept a Vocabulary or a bare [W,W32] word array (legacy callers)."""
     if isinstance(vocab, Vocabulary):
         return vocab.words, vocab.idf
     return vocab, None
@@ -62,7 +63,7 @@ def make_vocabulary(n_words: int = 4096, seed: int = 42) -> Vocabulary:
     """Random binary vocabulary (uniform IDF)."""
     rng = np.random.RandomState(seed)
     words = jnp.asarray(
-        rng.randint(0, 2**32, size=(n_words, 8), dtype=np.uint64).astype(np.uint32)
+        rng.randint(0, 2**32, size=(n_words, DESC_WORDS), dtype=np.uint64).astype(np.uint32)
     )
     return Vocabulary(words, jnp.ones((n_words,), jnp.float32))
 
@@ -121,14 +122,27 @@ def train_vocabulary(descs: np.ndarray, n_words: int = 4096, iters: int = 8,
 
     bits = jnp.unpackbits(
         jnp.asarray(descs).view(jnp.uint8), axis=-1, bitorder="little"
-    ).reshape(M, 256)
+    ).reshape(M, N_BITS)
+
+    # chunk the assignment step: the full [M, W] distance matrix at
+    # W = 32k words and M ~ 1e5 descriptors is ~17 GB — beyond HBM
+    chunk = max(1, min(M, (1 << 28) // max(n_words, 1)))
+
+    @jax.jit
+    def _assign_chunk(dc, cent):
+        return jnp.argmin(hamming_pairwise(dc, cent), axis=1)
+
+    def assign_all(cent):
+        outs = []
+        for s in range(0, M, chunk):
+            outs.append(_assign_chunk(d[s:s + chunk], cent))
+        return jnp.concatenate(outs)
 
     assign = None
     for _ in range(iters):
-        dist = hamming_pairwise(d, centroids)  # [M, W]
-        assign = jnp.argmin(dist, axis=1)
+        assign = assign_all(centroids)
         # majority bit per centroid
-        ones = jnp.zeros((n_words, 256), jnp.float32).at[assign].add(
+        ones = jnp.zeros((n_words, N_BITS), jnp.float32).at[assign].add(
             bits.astype(jnp.float32)
         )
         count = jnp.zeros((n_words,), jnp.float32).at[assign].add(1.0)
@@ -140,8 +154,7 @@ def train_vocabulary(descs: np.ndarray, n_words: int = 4096, iters: int = 8,
     idf = np.ones((n_words,), np.float32)
     if doc_ids is not None and assign is not None:
         # re-assign against the final centroids, then document frequency
-        final = np.asarray(
-            jnp.argmin(hamming_pairwise(d, centroids), axis=1))
+        final = np.asarray(assign_all(centroids))
         doc_ids = np.asarray(doc_ids)
         n_docs = int(doc_ids.max()) + 1
         df = np.zeros((n_words,), np.int64)

@@ -10,6 +10,7 @@ keyframe intact.
 import numpy as np
 import jax.numpy as jnp
 
+from orb_slam2_annotate_tpu.ops.orb import DESC_WORDS as DW, N_BITS as NB
 from orb_slam2_annotate_tpu.geometry import CameraModel
 from orb_slam2_annotate_tpu.io import synthetic
 from orb_slam2_annotate_tpu.pipeline import SlamConfig, System
@@ -25,7 +26,7 @@ def test_grow_map_preserves_contents():
         m, jnp.asarray(2), jnp.eye(3), jnp.ones(3), 7, 0.5,
         jnp.ones((16, 2)), jnp.full((16,), -1.0), jnp.zeros((16,)),
         jnp.zeros((16,), jnp.int32), jnp.zeros((16,)),
-        jnp.ones((16, 8), jnp.uint32), jnp.ones((16,), bool),
+        jnp.ones((16, DW), jnp.uint32), jnp.ones((16,), bool),
         jnp.arange(16, dtype=jnp.int32),
     )
     m = m._replace(mp_valid=m.mp_valid.at[:16].set(True),

@@ -3,6 +3,7 @@
 import numpy as np
 import jax.numpy as jnp
 
+from orb_slam2_annotate_tpu.ops.orb import DESC_WORDS as DW, N_BITS as NB
 from orb_slam2_annotate_tpu.geometry import CameraModel
 from orb_slam2_annotate_tpu.io import checkpoint, synthetic
 from orb_slam2_annotate_tpu.pipeline import SlamConfig, System
@@ -15,7 +16,7 @@ def test_checkpoint_roundtrip(tmp_path):
         m, jnp.asarray(0), jnp.eye(3), jnp.asarray([0.1, 0.2, 0.3]),
         5, 1.5, jnp.zeros((32, 2)), jnp.full((32,), -1.0), jnp.zeros((32,)),
         jnp.zeros((32,), jnp.int32), jnp.zeros((32,)),
-        jnp.ones((32, 8), jnp.uint32), jnp.ones((32,), bool),
+        jnp.ones((32, DW), jnp.uint32), jnp.ones((32,), bool),
         jnp.full((32,), -1, jnp.int32),
     )
     m = m._replace(mp_valid=m.mp_valid.at[3].set(True),

@@ -56,10 +56,18 @@ def test_loop_closure_fires_and_improves_ate():
     must be found by BoW retrieval + Sim3 verification, exactly like a
     real corridor loop.  (An out-and-back in a single-wall scene never
     closes a loop: tracking re-finds the old points through the local
-    map and the covisibility chain never breaks.)"""
+    map and the covisibility chain never breaks.)
+
+    Radius 1.8 (in the 12 m room): an outward-facing circle's parallax
+    per keyframe is ~radius/depth — at radius 1.2 the sequence is within
+    noise of a pure rotation, which monocular SLAM fundamentally cannot
+    triangulate (the r2 version of this test was bimodally flaky for
+    exactly that reason: runs lived or died on early scale drift
+    shrinking the effective baseline below the 1.15 deg parallax gate).
+    """
     n_frames = 180
     scene = synthetic.RoomScene(seed=2)
-    poses = synthetic.circle_trajectory(n_frames, radius=1.2, turns=1.04)
+    poses = synthetic.circle_trajectory(n_frames, radius=1.8, turns=1.04)
 
     cfg = SlamConfig(
         n_features=512, n_levels=4, max_kf=64, max_mp=8192,

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from orb_slam2_annotate_tpu.ops.orb import DESC_WORDS as DW, N_BITS as NB
 from orb_slam2_annotate_tpu.ops import (
     ExtractorConfig, extract, fast, hamming, matching, orb, pyramid,
 )
@@ -80,7 +81,7 @@ def test_extract_end_to_end():
     feats = extract(jnp.asarray(IMG), cfg)
     n_valid = int(jnp.sum(feats.valid))
     assert feats.xy.shape == (512, 2)
-    assert feats.desc.shape == (512, 8)
+    assert feats.desc.shape == (512, DW)
     assert n_valid > 100, f"only {n_valid} features"
     # valid keypoints must be inside the image
     xy = np.asarray(feats.xy)[np.asarray(feats.valid)]
@@ -133,8 +134,8 @@ def test_descriptors_invariant_to_in_plane_rotation():
 
 def test_hamming_pairwise():
     rng = np.random.RandomState(3)
-    a = rng.randint(0, 2**32, (16, 8), np.uint64).astype(np.uint32)
-    b = rng.randint(0, 2**32, (24, 8), np.uint64).astype(np.uint32)
+    a = rng.randint(0, 2**32, (16, DW), np.uint64).astype(np.uint32)
+    b = rng.randint(0, 2**32, (24, DW), np.uint64).astype(np.uint32)
     d = np.asarray(hamming.hamming_pairwise(jnp.asarray(a), jnp.asarray(b)))
     # golden: python popcount
     for i in range(16):
@@ -143,7 +144,7 @@ def test_hamming_pairwise():
                 b[j].tobytes(), "little"
             )
             assert d[i, j] == bin(x).count("1")
-    assert d.min() >= 0 and d.max() <= 256
+    assert d.min() >= 0 and d.max() <= NB
 
 
 def test_masked_min2():

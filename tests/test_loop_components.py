@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from orb_slam2_annotate_tpu.ops.orb import DESC_WORDS as DW, N_BITS as NB
 from orb_slam2_annotate_tpu.geometry import CameraModel, lie
 from orb_slam2_annotate_tpu.solvers import pnp, sim3 as sim3_solver
 from orb_slam2_annotate_tpu.solvers.pose_graph import (
@@ -20,13 +21,13 @@ CAM = CameraModel.create(fx=400.0, fy=400.0, cx=160.0, cy=120.0,
 def test_bow_similarity_discriminates():
     rng = np.random.RandomState(0)
     vocab = voc.make_vocabulary(512, 1)
-    d1 = rng.randint(0, 2**32, (300, 8), np.uint64).astype(np.uint32)
+    d1 = rng.randint(0, 2**32, (300, DW), np.uint64).astype(np.uint32)
     # same scene with a few bit flips
     d1b = d1.copy()
     flips = rng.randint(0, 2**32, d1.shape, np.uint64).astype(np.uint32)
     mask = rng.rand(*d1.shape) < 0.05
     d1b[mask] ^= flips[mask]
-    d2 = rng.randint(0, 2**32, (300, 8), np.uint64).astype(np.uint32)
+    d2 = rng.randint(0, 2**32, (300, DW), np.uint64).astype(np.uint32)
 
     v = jnp.ones(300, bool)
     b1 = voc.bow_vector(vocab, jnp.asarray(d1), v)
@@ -44,7 +45,7 @@ def test_keyframe_database_retrieval():
     descs = []
     v = jnp.ones(200, bool)
     for k in range(8):
-        d = rng.randint(0, 2**32, (200, 8), np.uint64).astype(np.uint32)
+        d = rng.randint(0, 2**32, (200, DW), np.uint64).astype(np.uint32)
         descs.append(d)
         db = db.add(k, voc.bow_vector(vocab, jnp.asarray(d), v))
     # query = noisy copy of KF 3
@@ -192,7 +193,7 @@ def test_loop_closer_corrects_constructed_drift():
 
     # shared scene for KF0/KF11: N points in front of the origin camera
     X0 = rng.uniform([-2, -2, 4], [2, 2, 8], (N, 3)).astype(np.float32)
-    desc0 = rng.randint(0, 2**32, (N, 8), np.uint64).astype(np.uint32)
+    desc0 = rng.randint(0, 2**32, (N, DW), np.uint64).astype(np.uint32)
 
     def project(Xc):
         return np.stack(
@@ -227,7 +228,7 @@ def test_loop_closer_corrects_constructed_drift():
         Rk = np.eye(3, dtype=np.float32)
         tk = np.array([-0.3 * min(k, 10 - k + 1), 0, 0], np.float32)
         Xk = rng.uniform([-2, -2, 4], [2, 2, 8], (N, 3)).astype(np.float32)
-        dk = rng.randint(0, 2**32, (N, 8), np.uint64).astype(np.uint32)
+        dk = rng.randint(0, 2**32, (N, DW), np.uint64).astype(np.uint32)
         add_kf(k, Rk, tk, Xk, dk, k * N)
     # KF11: TRUE pose == KF0 (revisit) but estimated with drift; it sees
     # the SHARED scene through its DRIFTED pose via its own point copies
@@ -282,7 +283,7 @@ def test_drift_plausibility_gate():
             m, jnp.asarray(k), jnp.asarray(R), jnp.asarray(t), k, float(k),
             jnp.zeros((N, 2)), jnp.full((N,), -1.0), jnp.zeros((N,)),
             jnp.zeros((N,), jnp.int32), jnp.zeros((N,)),
-            jnp.zeros((N, 8), jnp.uint32), jnp.ones((N,), bool),
+            jnp.zeros((N, DW), jnp.uint32), jnp.ones((N,), bool),
             jnp.full((N,), -1, jnp.int32),
         )
     lc = LoopCloser(CAM, K, LoopCloserConfig())

@@ -3,6 +3,7 @@
 import jax.numpy as jnp
 import numpy as np
 
+from orb_slam2_annotate_tpu.ops.orb import DESC_WORDS as DW, N_BITS as NB
 from orb_slam2_annotate_tpu.worldmap import map_state as ms
 
 
@@ -18,7 +19,7 @@ def test_insert_and_counts():
     dep = jnp.zeros((N,))
     octv = jnp.zeros((N,), jnp.int32)
     ang = jnp.zeros((N,))
-    desc = jnp.zeros((N, 8), jnp.uint32)
+    desc = jnp.zeros((N, DW), jnp.uint32)
     fv = jnp.ones((N,), bool)
     obs = jnp.full((N,), -1, jnp.int32)
     m = ms.insert_keyframe(m, jnp.asarray(0), jnp.eye(3), jnp.zeros(3), 0, 0.0,
@@ -34,7 +35,7 @@ def test_observation_and_covisibility():
     mk = lambda: (
         jnp.zeros((N, 2)), jnp.full((N,), -1.0), jnp.zeros((N,)),
         jnp.zeros((N,), jnp.int32), jnp.zeros((N,)),
-        jnp.zeros((N, 8), jnp.uint32), jnp.ones((N,), bool),
+        jnp.zeros((N, DW), jnp.uint32), jnp.ones((N,), bool),
     )
     # KF0 sees points 0..9 ; KF1 sees points 5..14 ; KF2 sees 20..24
     def obs_range(a, b):
@@ -68,7 +69,7 @@ def test_update_mappoint_stats_descriptor_median():
     m = small_map()
     N = m.N
     rng = np.random.RandomState(0)
-    descs = rng.randint(0, 2**31, (3, N, 8)).astype(np.uint32)
+    descs = rng.randint(0, 2**31, (3, N, DW)).astype(np.uint32)
     # KF0 and KF1 share point 0 at feature 0
     obs = np.full((3, N), -1, np.int32)
     obs[0, 0] = 0
@@ -116,7 +117,7 @@ def test_observation_table_overflow_keeps_first_max_obs():
             jnp.asarray([0.01 * k, 0.0, 0.0]), k, float(k),
             jnp.ones((N, 2)) * 10, jnp.full((N,), -1.0), jnp.zeros((N,)),
             jnp.zeros((N,), jnp.int32), jnp.zeros((N,)),
-            jnp.full((N, 8), k + 1, jnp.uint32), jnp.ones((N,), bool),
+            jnp.full((N, DW), k + 1, jnp.uint32), jnp.ones((N,), bool),
             jnp.zeros((N,), jnp.int32),  # all features -> point 0
         )
     m = m._replace(mp_valid=m.mp_valid.at[0].set(True),

@@ -3,6 +3,7 @@
 import numpy as np
 import jax.numpy as jnp
 
+from orb_slam2_annotate_tpu.ops.orb import DESC_WORDS as DW, N_BITS as NB
 from orb_slam2_annotate_tpu.ops import fast, hamming, pallas_kernels
 
 
@@ -35,8 +36,8 @@ def test_fast_kernel_nondivisible_height():
 
 def test_hamming_kernel_matches_reference():
     rng = np.random.RandomState(2)
-    a = rng.randint(0, 2**32, (200, 8), np.uint64).astype(np.uint32)
-    b = rng.randint(0, 2**32, (176, 8), np.uint64).astype(np.uint32)
+    a = rng.randint(0, 2**32, (200, DW), np.uint64).astype(np.uint32)
+    b = rng.randint(0, 2**32, (176, DW), np.uint64).astype(np.uint32)
     ref = hamming.hamming_pairwise(jnp.asarray(a), jnp.asarray(b))
     out = pallas_kernels.hamming_pairwise_pallas(
         jnp.asarray(a), jnp.asarray(b), interpret=True

@@ -34,8 +34,11 @@ def collect_descriptors(n_scenes: int, n_views: int, n_features: int = 512):
 
     descs, docs = [], []
     doc = 0
+    makers = (lambda sd: synthetic.PlaneScene(seed=sd),
+              lambda sd: synthetic.StructuredScene(seed=sd),
+              lambda sd: synthetic.BlobScene(seed=sd))
     for s in range(n_scenes):
-        scene = synthetic.PlaneScene(seed=s)
+        scene = makers[s % 3](s)
         for v in range(n_views):
             # random small pose inside the room
             phi = rng.uniform(-0.15, 0.15, 3)
@@ -98,7 +101,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--words", type=int, default=4096)
-    ap.add_argument("--scenes", type=int, default=4)
+    ap.add_argument("--scenes", type=int, default=6)
     ap.add_argument("--views", type=int, default=24)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default=os.path.join(
