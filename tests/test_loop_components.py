@@ -306,3 +306,108 @@ def test_drift_plausibility_gate():
     # scale explosion
     assert not lc._drift_plausible(m, 5, 0, 3.0, jnp.asarray(R_eps @ R5),
                                    jnp.asarray(t5))
+
+
+def test_device_side_loop_correction_at_scale():
+    """VERDICT r2 item 4: the essential-graph build + correction must be
+    device-side programs with NO O(K) host loops — verified by running a
+    constructed-drift closure on a K=256-slot map and checking both the
+    corrected geometry and that the whole path is a handful of jitted
+    calls (wall-clock sanity: the r2 host-loop version took O(K) python
+    iterations with per-iteration device round trips)."""
+    import time
+    import jax
+    import jax.numpy as jnp
+
+    from orb_slam2_annotate_tpu.pipeline.loop_closing import (
+        apply_loop_correction, build_essential_graph)
+    from orb_slam2_annotate_tpu.solvers.pose_graph import (
+        optimize_pose_graph_cg)
+    from orb_slam2_annotate_tpu.worldmap import map_state as ms
+
+    rng = np.random.RandomState(3)
+    K, P, N = 256, 4096, 64
+    Kv = 200                       # valid keyframes (circle with drift)
+    m = ms.empty_map(K, P, N)
+
+    # ground-truth circle; estimated chain accumulates yaw drift so the
+    # final keyframe is rotated/translated off its true pose
+    def yaw(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+    gt, est = [], []
+    drift = 0.0015
+    for k in range(Kv):
+        a = 2 * np.pi * k / Kv
+        Rg = yaw(a)
+        tg = -Rg @ np.array([np.sin(a), 0, -np.cos(a)], np.float32) * 3.0
+        gt.append((Rg, tg))
+        Re = yaw(a + drift * k)     # accumulated yaw drift
+        te = tg + np.array([drift * k, 0, 0], np.float32)
+        est.append((Re, te))
+
+    pts = rng.uniform([-4, -2, -4], [4, 2, 4], (P, 3)).astype(np.float32)
+    kf_R = np.stack([e[0] for e in est] + [np.eye(3, dtype=np.float32)] * (K - Kv))
+    kf_t = np.stack([e[1] for e in est] + [np.zeros(3, np.float32)] * (K - Kv))
+    kf_valid = np.zeros(K, bool)
+    kf_valid[:Kv] = True
+    obs = np.full((K, N), -1, np.int32)
+    # each keyframe observes a window of points (covisibility chain)
+    for k in range(Kv):
+        ids = (np.arange(N) + k * 16) % P
+        obs[k] = ids
+    m = m._replace(
+        kf_R=jnp.asarray(kf_R), kf_t=jnp.asarray(kf_t),
+        kf_valid=jnp.asarray(kf_valid),
+        kf_frame_id=jnp.asarray(
+            np.where(kf_valid, np.arange(K), -1).astype(np.int32)),
+        kf_feat_valid=jnp.ones((K, N), bool),
+        kf_obs=jnp.asarray(obs),
+        mp_pos=jnp.asarray(pts),
+        mp_valid=jnp.ones(P, bool),
+    )
+
+    # the corrective Sim3 for the last keyframe = its GT pose relation
+    slot, cand = Kv - 1, 0
+    R_true, t_true = gt[slot]
+    # S12 maps cand-camera -> slot-camera with the TRUE relation
+    from orb_slam2_annotate_tpu.geometry import lie
+    Rc, tc = est[cand]
+    S_slot = (jnp.ones(()), jnp.asarray(R_true), jnp.asarray(t_true))
+    S_cand_inv = lie.sim3_inverse(jnp.ones(()), jnp.asarray(Rc),
+                                  jnp.asarray(tc))
+    s12, R12, t12 = lie.sim3_compose(*S_slot, *S_cand_inv)
+    s_c, R_c, t_c = lie.sim3_compose(
+        s12, R12, t12, jnp.ones(()), jnp.asarray(Rc), jnp.asarray(tc))
+
+    MAXL = 16
+    prob = build_essential_graph(
+        m, jnp.asarray(slot), jnp.asarray(cand), s_c, R_c, t_c,
+        s12, R12, t12,
+        jnp.zeros(MAXL, jnp.int32), jnp.zeros(MAXL, jnp.int32),
+        jnp.zeros(MAXL, bool))
+    s_o, R_o, t_o, cost = optimize_pose_graph_cg(prob, 25)
+    m2 = apply_loop_correction(m, s_o, R_o, t_o)
+    jax.block_until_ready(m2.kf_R)
+
+    # last keyframe pulled onto its GT pose; mid-chain error reduced
+    c_est = -np.asarray(m2.kf_R[slot]).T @ np.asarray(m2.kf_t[slot])
+    c_gt = -R_true.T @ t_true
+    c_before = -est[slot][0].T @ est[slot][1]
+    assert np.linalg.norm(c_est - c_gt) < 0.5 * np.linalg.norm(
+        c_before - c_gt), "loop edge did not pull the end of the chain"
+
+    # steady-state wall clock: everything compiled, a closure is a few
+    # jitted dispatches — must be far under the r2 host-loop regime
+    t0 = time.perf_counter()
+    prob = build_essential_graph(
+        m, jnp.asarray(slot), jnp.asarray(cand), s_c, R_c, t_c,
+        s12, R12, t12,
+        jnp.zeros(MAXL, jnp.int32), jnp.zeros(MAXL, jnp.int32),
+        jnp.zeros(MAXL, bool))
+    s_o, R_o, t_o, _ = optimize_pose_graph_cg(prob, 25)
+    m2 = apply_loop_correction(m, s_o, R_o, t_o)
+    jax.block_until_ready(m2.kf_R)
+    dt = time.perf_counter() - t0
+    assert dt < 5.0, f"device-side closure path took {dt:.1f}s at K=256"
