@@ -81,12 +81,17 @@ def load_settings(path: str, sensor: str = "mono",
         k1=g("Camera.k1"), k2=g("Camera.k2"), p1=g("Camera.p1"), p2=g("Camera.p2"),
         k3=g("Camera.k3"), bf=g("Camera.bf"), width=width, height=height,
     )
+    n_features = int(g("ORBextractor.nFeatures", 1024))
     slam = SlamConfig(
         sensor=sensor,
-        n_features=int(g("ORBextractor.nFeatures", 1024)),
+        n_features=n_features,
         n_levels=int(g("ORBextractor.nLevels", 8)),
         scale=g("ORBextractor.scaleFactor", 1.2),
         th_depth=g("ThDepth", 40.0),
+        # the reference's mono-init gate of 100 matches assumes the
+        # 1000-feature budget (Tracking.cc:625); scale with nFeatures so
+        # smaller configs can bootstrap
+        init_min_matches=min(100, max(50, n_features // 8)),
     )
     return Settings(
         cam=cam, slam=slam,

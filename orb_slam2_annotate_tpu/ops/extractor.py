@@ -54,16 +54,12 @@ class Features(NamedTuple):
 
 def _extract_level(img, budget, cfg: ExtractorConfig, level: int,
                    tab: orb.OrbTables):
-    import os
-
-    if os.environ.get("ORBTPU_USE_PALLAS", "0") == "1":
-        from . import pallas_kernels
-
-        score, is_hi = pallas_kernels.fast_score_map_pallas(
-            img, cfg.th_fast_lo, cfg.th_fast_hi
-        )
-    else:
-        score, is_hi = fast.fast_score_map(img, cfg.th_fast_lo, cfg.th_fast_hi)
+    # pure XLA on purpose: the r3 Pallas experiments measured the fused
+    # XLA FAST score at 25 us for VGA on v5e — a hand-tiled kernel could
+    # not beat it (and the Pallas lowering rejects the ragged pyramid
+    # level shapes); XLA fusion IS the TPU-native path for these
+    # memory-bound stencils
+    score, is_hi = fast.fast_score_map(img, cfg.th_fast_lo, cfg.th_fast_hi)
     score = fast.nms3x3(score)
     # mask out the EDGE margin so patches stay inside
     h, w = img.shape
