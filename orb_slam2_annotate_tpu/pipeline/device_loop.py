@@ -52,7 +52,8 @@ from ..worldmap import map_state as ms
 from ..worldmap import vocabulary as voc
 from . import local_mapping as lm
 from . import tracking as tk
-from .frame import Frame, _make_frame_mono, _make_frame_rgbd
+from .frame import (Frame, _make_frame_mono, _make_frame_rgbd,
+                    _make_frame_stereo)
 from .system import SlamConfig
 
 # tracker modes (device scalar)
@@ -193,12 +194,21 @@ def make_step(cfg: SlamConfig):
         bow = voc.bow_vector(vocab, m.kf_desc[slot], m.kf_feat_valid[slot])
         bows = st.bows.at[slot].set(bow)
 
+        # NOTE: the tracker deliberately does NOT adopt the chain's
+        # BA-adjusted pose/observations mid-stream (keep st.R/st.t and
+        # the step's own obs): measured on the VGA bench orbit, pose
+        # adoption DOUBLES final ATE (5.2 vs 2.6 cm).  The BA shift
+        # breaks velocity continuity — the constant-velocity prediction
+        # is built from pre-BA poses, and mixing frames from the two
+        # pose streams injects a prediction error at every keyframe.
+        # The map still carries the BA-corrected keyframe; the trajectory
+        # record for this frame is Tcr=identity vs the corrected KF, so
+        # the saved trajectory benefits either way (Tracking.cc keeps
+        # tracking from mCurrentFrame's own pose too).
         return st._replace(
             m=m, bows=bows, traj=traj, traj_ref=traj_ref,
-            R=m.kf_R[slot], t=m.kf_t[slot],
             ref_kf=slot.astype(jnp.int32),
             last_kf_frame=frame_id.astype(jnp.int32),
-            last_obs=m.kf_obs[slot],
             peak_n_local=jnp.asarray(0, jnp.int32),
         )
 
@@ -487,7 +497,22 @@ def make_step(cfg: SlamConfig):
             st,
         )
 
-    return step_rgbd if cfg.sensor == "rgbd" else step_mono
+    @partial(jax.jit, donate_argnums=(3,))
+    def step_stereo(cam: CameraModel, tab, vocab, st: FreeState,
+                    image_l, image_r, frame_id, ts) -> FreeState:
+        frame = _make_frame_stereo(image_l, image_r, cam, tab, ecfg)
+        return jax.lax.cond(
+            st.mode <= MODE_SECOND,
+            lambda s: init_branch(cam, tab, vocab, s, frame, frame_id, ts),
+            lambda s: track_branch(cam, tab, vocab, s, frame, frame_id, ts),
+            st,
+        )
+
+    if cfg.sensor == "rgbd":
+        return step_rgbd
+    if cfg.sensor == "stereo":
+        return step_stereo
+    return step_mono
 
 
 class FreeRunner:
@@ -539,6 +564,15 @@ class FreeRunner:
             self.cam, self.tab, self.vocab, self.state, img, dep,
             jnp.asarray(self.frame_id, jnp.int32), jnp.asarray(timestamp))
 
+    def track_stereo(self, image_l, image_r, timestamp: float):
+        self.frame_id += 1
+        self._timestamps.append(timestamp)
+        il = jnp.asarray(np.asarray(image_l))
+        ir = jnp.asarray(np.asarray(image_r))
+        self.state = self._step(
+            self.cam, self.tab, self.vocab, self.state, il, ir,
+            jnp.asarray(self.frame_id, jnp.int32), jnp.asarray(timestamp))
+
     def warmup(self, image_shape=None):
         """Compile + first-execute the step program on throwaway state
         (axon pays a one-time executable-load at first execution)."""
@@ -550,6 +584,10 @@ class FreeRunner:
                 dep = jnp.ones((h, w), jnp.float32)
                 st = self._step(self.cam, self.tab, self.vocab, st, img,
                                 dep, jnp.asarray(fid, jnp.int32),
+                                jnp.asarray(0.0))
+            elif self.cfg.sensor == "stereo":
+                st = self._step(self.cam, self.tab, self.vocab, st, img,
+                                img, jnp.asarray(fid, jnp.int32),
                                 jnp.asarray(0.0))
             else:
                 st = self._step(self.cam, self.tab, self.vocab, st, img,

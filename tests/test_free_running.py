@@ -128,3 +128,35 @@ def test_free_running_rgbd():
     rmse, _ = evaluation.ate_rmse(np.stack(est), np.stack(gt),
                                   with_scale=False)
     assert rmse < 0.15, f"free-running RGB-D ATE {rmse:.3f} m"
+
+
+@pytest.mark.slow
+def test_free_running_stereo():
+    from tests.test_e2e_stereo import BASELINE as B
+    n_frames = 16
+    scene = synthetic.PlaneScene(seed=5)
+    poses = synthetic.orbit_trajectory(n_frames, step=0.05)
+    cam = CameraModel.create(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
+                             width=320, height=240, bf=250.0 * B)
+
+    runner = FreeRunner(cam, _cfg(sensor="stereo", th_depth=100.0),
+                        max_frames=n_frames)
+    u8 = lambda im: np.clip(im, 0, 255).astype(np.uint8)
+    for k, (R, t) in enumerate(poses):
+        img_l, _ = scene.render(cam, R, t, h=240, w=320)
+        t_r = np.asarray(t, np.float32) - np.array([B, 0, 0], np.float32)
+        img_r, _ = scene.render(cam, R, t_r, h=240, w=320)
+        runner.track_stereo(u8(img_l), u8(img_r), k / 30.0)
+    out = runner.finish(resolve_loops=False)
+    ok = [k for k, T in out["trajectory"] if T is not None]
+    assert len(ok) > 0.6 * n_frames
+    est, gt = [], []
+    for k, T in out["trajectory"]:
+        if T is None:
+            continue
+        est.append(-T[:3, :3].T @ T[:3, 3])
+        Rg, tg = poses[k]
+        gt.append(-Rg.T @ tg)
+    rmse, _ = evaluation.ate_rmse(np.stack(est), np.stack(gt),
+                                  with_scale=False)
+    assert rmse < 0.15, f"free-running stereo metric ATE {rmse:.3f} m"
