@@ -56,6 +56,8 @@ from .frame import (Frame, _make_frame_mono, _make_frame_rgbd,
                     _make_frame_stereo)
 from .system import SlamConfig
 
+MAX_LOOPS = 16  # historic loop-edge ring capacity (device-side)
+
 # tracker modes (device scalar)
 MODE_FIRST = 0      # waiting for a usable init frame
 MODE_SECOND = 1     # mono: have init frame, matching against it
@@ -84,12 +86,20 @@ class FreeState(NamedTuple):
     init_f: Frame
     init_fid: jnp.ndarray    # i32
     init_ts: jnp.ndarray     # f32
+    # live loop-closing state (device-side funnel, free_loop_stage)
+    streaks: jnp.ndarray     # [K] i32 candidate consistency streaks
+    loop_edge_a: jnp.ndarray  # [MAX_LOOPS] i32 historic loop edges
+    loop_edge_b: jnp.ndarray  # [MAX_LOOPS] i32
+    loop_edge_ok: jnp.ndarray  # [MAX_LOOPS] bool
+    n_loops: jnp.ndarray     # i32 closures so far
+    last_loop_nkf: jnp.ndarray  # i32 map.n_kf at the last closure
     # per-frame rings (read once at finish)
     traj: jnp.ndarray        # [F, 12] packed Tcr
     traj_ref: jnp.ndarray    # [F] i32 reference keyframe slot
     traj_ok: jnp.ndarray     # [F] bool
     ring_mode: jnp.ndarray   # [F] i32 tracker mode after the frame
     ring_nlocal: jnp.ndarray  # [F] i32 inliers (diagnostics)
+    ring_loop: jnp.ndarray   # [F, 8] f32 loop-funnel diag (free_loop_stage)
 
 
 def _empty_frame(n: int) -> Frame:
@@ -119,11 +129,18 @@ def init_state(cfg: SlamConfig, n_words: int, max_frames: int) -> FreeState:
         init_f=_empty_frame(n),
         init_fid=jnp.asarray(-1, jnp.int32),
         init_ts=jnp.asarray(0.0),
+        streaks=jnp.zeros((cfg.max_kf,), jnp.int32),
+        loop_edge_a=jnp.zeros((MAX_LOOPS,), jnp.int32),
+        loop_edge_b=jnp.zeros((MAX_LOOPS,), jnp.int32),
+        loop_edge_ok=jnp.zeros((MAX_LOOPS,), bool),
+        n_loops=jnp.asarray(0, jnp.int32),
+        last_loop_nkf=jnp.asarray(0, jnp.int32),
         traj=jnp.zeros((max_frames, 12)),
         traj_ref=jnp.zeros((max_frames,), jnp.int32),
         traj_ok=jnp.zeros((max_frames,), bool),
         ring_mode=jnp.zeros((max_frames,), jnp.int32),
         ring_nlocal=jnp.zeros((max_frames,), jnp.int32),
+        ring_loop=jnp.zeros((max_frames, 8), jnp.float32),
     )
 
 
@@ -149,7 +166,10 @@ def make_step(cfg: SlamConfig):
     EN_FUSE = cfg.enable_fuse
     EN_LBA = cfg.enable_local_ba
     EN_KFCULL = cfg.enable_kf_culling
+    EN_LOOP = cfg.enable_loop_closing
     SEED = cfg.seed
+    from .loop_closing import LoopCloserConfig, free_loop_stage
+    LCFG = LoopCloserConfig(fix_scale=cfg.sensor != "mono")
 
     def write_rec(st, frame_id, ref, Rcr, tcr, ok, mode, n_local):
         i = frame_id
@@ -190,13 +210,31 @@ def make_step(cfg: SlamConfig):
             traj_ref = jnp.where(hit, cull.new_ref[i], traj_ref)
         traj = jnp.concatenate([Rcr_all.reshape(-1, 9), tcr_all], axis=1)
 
-        # BoW row for relocalization + offline loop replay
-        bow = voc.bow_vector(vocab, m.kf_desc[slot], m.kf_feat_valid[slot])
-        bows = st.bows.at[slot].set(bow)
+        # live loop closing: the ENTIRE detect -> verify -> correct
+        # pipeline runs device-side (free_loop_stage); it also writes
+        # this keyframe's BoW row into the database
+        if EN_LOOP:
+            key = jax.random.fold_in(jax.random.PRNGKey(SEED + 13),
+                                     frame_id)
+            (m, bows, streaks, la, lb, lk, n_loops, last_nkf,
+             _closed, ldiag) = free_loop_stage(
+                LCFG, cam, vocab, m, st.bows, slot, st.streaks,
+                st.loop_edge_a, st.loop_edge_b, st.loop_edge_ok,
+                st.n_loops, st.last_loop_nkf, key)
+            st = st._replace(streaks=streaks, loop_edge_a=la,
+                             loop_edge_b=lb, loop_edge_ok=lk,
+                             n_loops=n_loops, last_loop_nkf=last_nkf,
+                             ring_loop=st.ring_loop.at[frame_id].set(ldiag))
+        else:
+            bow = voc.bow_vector(vocab, m.kf_desc[slot],
+                                 m.kf_feat_valid[slot])
+            bows = st.bows.at[slot].set(bow)
 
-        # NOTE: the tracker deliberately does NOT adopt the chain's
-        # BA-adjusted pose/observations mid-stream (keep st.R/st.t and
-        # the step's own obs): measured on the VGA bench orbit, pose
+        # NOTE: the tracker adopts the chain's OBSERVATION row (the
+        # fresh keyframe's post-BA/triangulation associations — without
+        # them the motion-model search starves on fresh scenery and the
+        # RoomScene circle loses tracking mid-run) but deliberately NOT
+        # the BA-adjusted POSE: measured on the VGA bench orbit, pose
         # adoption DOUBLES final ATE (5.2 vs 2.6 cm).  The BA shift
         # breaks velocity continuity — the constant-velocity prediction
         # is built from pre-BA poses, and mixing frames from the two
@@ -207,6 +245,7 @@ def make_step(cfg: SlamConfig):
         # tracking from mCurrentFrame's own pose too).
         return st._replace(
             m=m, bows=bows, traj=traj, traj_ref=traj_ref,
+            last_obs=m.kf_obs[slot],
             ref_kf=slot.astype(jnp.int32),
             last_kf_frame=frame_id.astype(jnp.int32),
             peak_n_local=jnp.asarray(0, jnp.int32),
@@ -601,13 +640,16 @@ class FreeRunner:
 
     # -- one-shot readback --------------------------------------------
 
-    def finish(self, resolve_loops: bool = True):
-        """Read everything once; optionally replay loop detection over
-        the recorded keyframes and correct the map, then recover the
-        full trajectory through the (possibly corrected) keyframe poses.
+    def finish(self, resolve_loops: bool = False):
+        """Read everything once and recover the full trajectory through
+        the (loop-corrected) keyframe poses.  Loop closures happen LIVE
+        on device during the run (free_loop_stage inside the per-frame
+        program); resolve_loops=True additionally replays the host
+        detection funnel over the recorded keyframes afterwards (useful
+        when live closing was disabled).
 
         Returns dict with trajectory [(frame_id, T4x4 | None)], map,
-        n_keyframes, modes, n_local per frame.
+        n_keyframes, n_loops_closed, modes, n_local per frame.
         """
         if self._finished is not None:
             return self._finished
@@ -620,9 +662,10 @@ class FreeRunner:
         nlocal = np.asarray(st.ring_nlocal)[:n]
         m = st.m
 
-        n_loops = 0
+        n_loops = int(st.n_loops)
         if resolve_loops and self.cfg.enable_loop_closing:
-            m, n_loops = self._replay_loops(m, st)
+            m, extra = self._replay_loops(m, st)
+            n_loops += extra
 
         kf_R = np.asarray(m.kf_R)
         kf_t = np.asarray(m.kf_t)
@@ -642,6 +685,7 @@ class FreeRunner:
             out.append((k, T))
         self._finished = dict(
             trajectory=out, map=m, modes=modes, n_local=nlocal,
+            loop_diag=np.asarray(st.ring_loop)[:n],
             n_keyframes=int(np.asarray(m.kf_valid).sum()),
             n_mappoints=int(np.asarray(m.mp_valid).sum()),
             n_loops_closed=n_loops,

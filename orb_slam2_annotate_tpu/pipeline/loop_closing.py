@@ -132,11 +132,14 @@ def build_essential_graph(m: ms.MapState, slot, cand, s_c, R_c, t_c,
     cov_j = (flat_idx % K).astype(jnp.int32)
     cov_ok = topw > 0
 
+    slot = jnp.asarray(slot, jnp.int32)
+    cand = jnp.asarray(cand, jnp.int32)
+    loop_live = loop_ok & m.kf_valid[loop_a] & m.kf_valid[loop_b]
     e_i = jnp.concatenate([tree_i, cov_i, loop_a.astype(jnp.int32),
-                           jnp.asarray([slot], jnp.int32)])
+                           slot[None]])
     e_j = jnp.concatenate([tree_j, cov_j, loop_b.astype(jnp.int32),
-                           jnp.asarray([cand], jnp.int32)])
-    e_ok = jnp.concatenate([tree_ok, cov_ok, loop_ok,
+                           cand[None]])
+    e_ok = jnp.concatenate([tree_ok, cov_ok, loop_live,
                             jnp.asarray([True])])
 
     # measurements from PRE-correction poses (S_ji = S_j S_i^-1); the new
@@ -166,6 +169,231 @@ def build_essential_graph(m: ms.MapState, slot, cand, s_c, R_c, t_c,
         e_i=e_i, e_j=e_j, e_s=e_s, e_R=e_R, e_t=e_t,
         e_valid=e_ok, e_weight=jnp.ones((E,)),
     )
+
+
+def free_loop_stage(cfg: "LoopCloserConfig", cam: CameraModel, vocab,
+                    m: ms.MapState, bows, slot, streaks,
+                    loop_a, loop_b, loop_ok, n_loops, last_loop_nkf, key):
+    """The ENTIRE loop-closing pipeline as traced device code, for the
+    free-running path (pipeline/device_loop.py) — detection, consistency
+    streaks, the full ComputeSim3 funnel, the drift gate, essential-
+    graph correction, and seam fusion, all gated by lax.cond so the
+    expensive verification only executes when a consistent candidate
+    exists.  The host never reads anything.
+
+    Mirrors LoopCloser.resolve_detection semantics (LoopClosing.cc:
+    DetectLoop:117 / ComputeSim3:286 / CorrectLoop:478) with these
+    deliberate differences: only the TOP consistent candidate is
+    verified per keyframe (the host path tries up to
+    max_sim3_candidates), and the async global BA is deferred to
+    finish() (the essential graph carries the correction; reference GBA
+    refines afterwards, LoopClosing.cc:756).
+
+    Returns (m, bows, streaks, loop_a, loop_b, loop_ok, n_loops,
+    last_loop_nkf, closed_flag, diag[8]) — diag packs the funnel
+    counters (the device analog of ORBTPU_LOOP_TRACE): [go, n_matches,
+    seed_inliers, n_proj, pair_inliers, drift_ok, streak_max, closed].
+    """
+    from . import local_mapping as lm_mod
+
+    K = m.K
+    MAXL = loop_a.shape[0]
+    det = detect_loop_device(vocab, bows, m, slot, cfg.gap_kf)
+    bows = det.db_bows
+
+    # --- consistency streaks (DetectLoop's 3-consecutive groups):
+    # a candidate continues a streak if it equals or is covisible with a
+    # previously-streaking slot
+    covm = (det.cand_covis > 0) | (jnp.arange(K)[None, :]
+                                   == det.cands[:, None])      # [8, K]
+    streak_cand = 1 + jnp.max(jnp.where(covm, streaks[None, :], 0), axis=1)
+    streak_cand = jnp.where(det.ok, streak_cand, 0)
+    new_streaks = jnp.zeros((K,), jnp.int32).at[det.cands].max(
+        streak_cand.astype(jnp.int32))
+
+    in_cooldown = m.n_kf < last_loop_nkf + cfg.cooldown_kf
+    new_streaks = jnp.where(in_cooldown, 0, new_streaks)
+
+    confirmed = det.ok & (streak_cand >= cfg.consistency_th) & ~in_cooldown
+
+    def verify_and_correct(args):
+        (m, bows, loop_a, loop_b, loop_ok, n_loops, last_loop_nkf,
+         cand, key) = args
+        # ---- ComputeSim3 funnel (all gates become where-masks)
+        obs1 = m.kf_obs[slot]
+        obs2 = m.kf_obs[cand]
+        has1 = (obs1 >= 0) & m.kf_feat_valid[slot] & m.mp_valid[
+            jnp.clip(obs1, 0)]
+        has2 = (obs2 >= 0) & m.kf_feat_valid[cand] & m.mp_valid[
+            jnp.clip(obs2, 0)]
+        cand_mask = has1[:, None] & has2[None, :]
+        res = matching.match_masked(
+            m.kf_desc[slot], m.kf_desc[cand], cand_mask,
+            max_dist=matching.TH_LOW, ratio=0.92, mutual=False)
+        n_matches = res.count
+
+        def gather_pairs(idx):
+            idx2 = jnp.clip(idx, 0)
+            mp1 = jnp.clip(obs1, 0)
+            mp2 = jnp.clip(obs2[idx2], 0)
+            x1 = m.mp_pos[mp1] @ m.kf_R[slot].T + m.kf_t[slot]
+            x2 = m.mp_pos[mp2] @ m.kf_R[cand].T + m.kf_t[cand]
+            uv1 = m.kf_xy[slot]
+            uv2 = m.kf_xy[cand][idx2]
+            valid = (idx >= 0) & has1
+            return x1, x2, uv1, uv2, valid
+
+        x1, x2, uv1, uv2, valid = gather_pairs(res.idx)
+        k1, k2 = jax.random.split(key)
+        r = sim3_solver.sim3_ransac(
+            k1, cam, x2, x1, uv2, uv1, cfg.seed_hyp, cfg.fix_scale,
+            valid=valid & (n_matches >= cfg.min_seed_matches),
+            th_chi2=cfg.seed_th_chi2, min_inliers=cfg.min_seed_inliers)
+
+        seed_idx = jnp.where((res.idx >= 0) & r.inliers, res.idx, -1)
+        s_k, R_k, t_k = r.s, r.R, r.t
+        for it in range(2):
+            g_idx = sim3_guided_match(
+                cam, m, slot, cand, s_k, R_k, t_k,
+                radius_scale=(3.0 if it == 0 else 1.5))
+            merged = jnp.where(seed_idx >= 0, seed_idx, g_idx)
+            x1g, x2g, uv1g, uv2g, vg = gather_pairs(merged)
+            r2 = sim3_solver.optimize_sim3(
+                cam, s_k, R_k, t_k, x2g, x1g, uv2g, uv1g,
+                cfg.fix_scale, valid=vg, chi2_th=cfg.seed_th_chi2)
+            keep = r2.n_inliers >= cfg.min_seed_inliers
+            s_k = jnp.where(keep, r2.s, s_k)
+            R_k = jnp.where(keep, r2.R, R_k)
+            t_k = jnp.where(keep, r2.t, t_k)
+
+        n_proj, feat_pt = loop_projection_count(
+            cam, m, slot, cand, s_k, R_k, t_k)
+
+        pair_ok = (feat_pt >= 0) & has1
+        x1p = m.mp_pos[jnp.clip(obs1, 0)] @ m.kf_R[slot].T + m.kf_t[slot]
+        x2p = (m.mp_pos[jnp.clip(feat_pt, 0)] @ m.kf_R[cand].T
+               + m.kf_t[cand])
+        z2 = jnp.maximum(x2p[:, 2], 1e-6)
+        uv2p = jnp.stack(
+            [cam.fx * x2p[:, 0] / z2 + cam.cx,
+             cam.fy * x2p[:, 1] / z2 + cam.cy], 1)
+        r3 = sim3_solver.sim3_ransac(
+            k2, cam, x2p, x1p, uv2p, m.kf_xy[slot], cfg.seed_hyp,
+            cfg.fix_scale, valid=pair_ok, th_chi2=cfg.verify_th_chi2,
+            min_inliers=cfg.min_ransac_inliers)
+        s12, R12, t12 = r3.s, r3.R, r3.t
+
+        # ---- drift-plausibility gate (device formulas of
+        # _drift_plausible)
+        acc_rot, acc_tr, n_seg = drift_accumulators(m, cand, slot)
+        s_c, R_c, t_c = lie.sim3_compose(
+            s12, R12, t12, jnp.ones(()), m.kf_R[cand], m.kf_t[cand])
+        c_new = -R_c.T @ (t_c / jnp.maximum(s_c, 1e-9))
+        c_old = -m.kf_R[slot].T @ m.kf_t[slot]
+        dR = R_c @ m.kf_R[slot].T
+        rot_corr = jnp.abs(jnp.arccos(jnp.clip(
+            (dR[0, 0] + dR[1, 1] + dR[2, 2] - 1.0) / 2.0, -1.0, 1.0)))
+        tr_corr = jnp.linalg.norm(c_new - c_old)
+        med_baseline = acc_tr / jnp.maximum(n_seg, 1)
+        tr_budget = jnp.maximum(cfg.drift_trans_frac * acc_tr,
+                                cfg.drift_trans_abs_baselines * med_baseline)
+        drift_ok = (
+            (n_seg >= 1)
+            & (rot_corr <= cfg.drift_rot_frac * acc_rot + cfg.drift_rot_abs)
+            & (tr_corr <= tr_budget)
+            & (jnp.abs(jnp.log(jnp.maximum(s12, 1e-9)))
+               <= cfg.drift_log_scale_max)
+        )
+
+        accept = ((n_matches >= cfg.min_seed_matches) & r.success
+                  & (n_proj >= cfg.min_total_matches) & r3.success
+                  & drift_ok)
+
+        def correct(args):
+            m, bows, loop_a, loop_b, loop_ok, n_loops, last = args
+            prob = build_essential_graph(
+                m, slot, cand, s_c, R_c, t_c, s12, R12, t12,
+                loop_a, loop_b, loop_ok)
+            s_o, R_o, t_o, _ = optimize_pose_graph_cg(
+                prob, cfg.pose_graph_iters)
+            m = apply_loop_correction(m, s_o, R_o, t_o)
+            # seam fusion (SearchAndFuse, LoopClosing.cc:609-689)
+            T_FUSE = min(12, K)
+            W2 = ms.covisibility(m)
+            w_cur = jnp.where(m.kf_valid, W2[slot], -1).at[slot].set(-1)
+            _, cur_nb = jax.lax.top_k(w_cur, T_FUSE - 1)
+            fuse_targets = jnp.concatenate([slot[None], cur_nb])
+            fuse_ok = jnp.concatenate(
+                [jnp.ones((1,), bool), w_cur[cur_nb] > 0])
+            loop_nb = (W2[cand] > 0).at[cand].set(True) & m.kf_valid
+            O2 = ms.observation_matrix(m)
+            loop_pts = jnp.any(O2 & loop_nb[:, None], axis=0)
+            m = lm_mod.fuse_points_into(m, cam, fuse_targets, fuse_ok,
+                                        loop_pts, update_stats=False)
+            m = ms.update_mappoint_stats(m)
+            i = jnp.clip(n_loops, 0, MAXL - 1)
+            loop_a = loop_a.at[i].set(slot.astype(jnp.int32))
+            loop_b = loop_b.at[i].set(cand.astype(jnp.int32))
+            loop_ok = loop_ok.at[i].set(True)
+            return (m, bows, loop_a, loop_b, loop_ok, n_loops + 1,
+                    m.n_kf, jnp.asarray(True))
+
+        def reject(args):
+            m, bows, loop_a, loop_b, loop_ok, n_loops, last = args
+            return (m, bows, loop_a, loop_b, loop_ok, n_loops, last,
+                    jnp.asarray(False))
+
+        out = jax.lax.cond(
+            accept, correct, reject,
+            (m, bows, loop_a, loop_b, loop_ok, n_loops, last_loop_nkf))
+        diag = jnp.stack([
+            jnp.asarray(1.0), n_matches.astype(jnp.float32),
+            r.n_inliers.astype(jnp.float32), n_proj.astype(jnp.float32),
+            r3.n_inliers.astype(jnp.float32), drift_ok.astype(jnp.float32),
+            jnp.max(streak_cand).astype(jnp.float32),
+            out[-1].astype(jnp.float32)])
+        return out + (diag,)
+
+    def skip(args):
+        (m, bows, loop_a, loop_b, loop_ok, n_loops, last, cand, key) = args
+        diag = jnp.zeros((8,)).at[6].set(
+            jnp.max(streak_cand).astype(jnp.float32))
+        return (m, bows, loop_a, loop_b, loop_ok, n_loops, last,
+                jnp.asarray(False), diag)
+
+    # try the top consistent candidates in score order until one closes
+    # (the host path iterates mvpEnoughConsistentCandidates the same
+    # way, LoopClosing.cc:305; max_sim3_candidates bounds the work) —
+    # one traced funnel, fori_loop over candidate ranks
+    N_TRY = min(cfg.max_sim3_candidates, int(det.cands.shape[0]))
+    diag0 = jnp.zeros((8,)).at[6].set(
+        jnp.max(streak_cand).astype(jnp.float32))
+
+    def body(i, carry):
+        (m, bows, loop_a, loop_b, loop_ok, n_loops, last, closed,
+         diag) = carry
+        cand_i = det.cands[i]
+        go_i = confirmed[i] & (cand_i != slot) & ~closed
+        key_i = jax.random.fold_in(key, i)
+        (m, bows, loop_a, loop_b, loop_ok, n_loops, last, closed_i,
+         diag_i) = jax.lax.cond(
+            go_i, verify_and_correct, skip,
+            (m, bows, loop_a, loop_b, loop_ok, n_loops, last,
+             cand_i, key_i))
+        diag = jnp.where(go_i, diag_i, diag)
+        return (m, bows, loop_a, loop_b, loop_ok, n_loops, last,
+                closed | closed_i, diag)
+
+    (m, bows, loop_a, loop_b, loop_ok, n_loops, last_loop_nkf, closed,
+     diag) = jax.lax.fori_loop(
+        0, N_TRY, body,
+        (m, bows, loop_a, loop_b, loop_ok, n_loops, last_loop_nkf,
+         jnp.asarray(False), diag0))
+
+    # a closure resets the streaks (resolve_detection does the same)
+    new_streaks = jnp.where(closed, 0, new_streaks)
+    return (m, bows, new_streaks, loop_a, loop_b, loop_ok, n_loops,
+            last_loop_nkf, closed, diag)
 
 
 @jax.jit

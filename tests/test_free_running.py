@@ -160,3 +160,35 @@ def test_free_running_stereo():
     rmse, _ = evaluation.ate_rmse(np.stack(est), np.stack(gt),
                                   with_scale=False)
     assert rmse < 0.15, f"free-running stereo metric ATE {rmse:.3f} m"
+
+
+@pytest.mark.slow
+def test_free_running_live_loop_closure():
+    """The device-side loop funnel (free_loop_stage) must close the
+    RoomScene circle LIVE — during the zero-read run, not at finish()."""
+    n_frames = 180
+    scene = synthetic.RoomScene(seed=2)
+    poses = synthetic.circle_trajectory(n_frames, radius=1.8, turns=1.04)
+
+    cfg = _cfg(max_kf=128, max_mp=16384, max_frames_between_kf=4,
+               enable_loop_closing=True, enable_kf_culling=False)
+    runner = FreeRunner(CAM, cfg, max_frames=n_frames)
+    for k, (R, t) in enumerate(poses):
+        img, _ = scene.render(CAM, R, t, h=240, w=320)
+        runner.track_mono(np.clip(img, 0, 255).astype(np.uint8), k / 30.0)
+    out = runner.finish(resolve_loops=False)
+
+    assert out["n_loops_closed"] >= 1, "no live loop closed"
+    ok = [k for k, T in out["trajectory"] if T is not None]
+    assert len(ok) > 0.7 * n_frames, f"tracked {len(ok)}/{n_frames}"
+
+    est, gt = [], []
+    for k, T in out["trajectory"]:
+        if T is None:
+            continue
+        est.append(-T[:3, :3].T @ T[:3, 3])
+        Rg, tg = poses[k]
+        gt.append(-Rg.T @ tg)
+    rmse, _ = evaluation.ate_rmse(np.stack(est), np.stack(gt),
+                                  with_scale=True)
+    assert rmse < 0.25, f"post-closure ATE {rmse:.3f} m"
