@@ -21,12 +21,12 @@ decision on device —
     masked rewrite of that ring inside the same program,
 
 and the host reads results exactly ONCE, after the last frame
-(`FreeRunner.finish()`).  Loop-closure detection/resolution — host-
-orchestrated by design (LoopClosing.cc's own thread is asynchronous to
-tracking) — runs at finish() as an ordered replay over the recorded
-keyframes, with corrections applied retroactively through the
-Tcr-relative trajectory records, mirroring how the reference's late GBA
-corrects past frames through their reference keyframes.
+(`FreeRunner.finish()`).  Loop closing runs LIVE on device too
+(loop_closing.free_loop_stage: detection, consistency streaks, the
+full ComputeSim3 funnel, drift gate, essential-graph correction and
+seam fusion, all under lax.cond inside the keyframe branch); the
+post-closure global BA refinement runs once at finish(), like the
+reference's asynchronous GBA (LoopClosing.cc:756).
 
 The synchronous System (system.py) remains the reference-semantics
 path (live loop closing, capacity growth, host-visible telemetry); this
@@ -666,6 +666,13 @@ class FreeRunner:
         if resolve_loops and self.cfg.enable_loop_closing:
             m, extra = self._replay_loops(m, st)
             n_loops += extra
+        if n_loops > 0:
+            # global BA after loop closure (RunGlobalBundleAdjustment,
+            # LoopClosing.cc:756): the live device funnel applies the
+            # essential-graph correction; the full-map refinement runs
+            # here, once, after the sequence (the reference's GBA is
+            # asynchronous to tracking for the same reason)
+            m = self._global_ba(m)
 
         kf_R = np.asarray(m.kf_R)
         kf_t = np.asarray(m.kf_t)
@@ -692,6 +699,36 @@ class FreeRunner:
             timestamps=self._timestamps,
         )
         return self._finished
+
+    def _global_ba(self, m: ms.MapState) -> ms.MapState:
+        """Full-map bundle adjustment anchored at the oldest keyframe
+        (GlobalBundleAdjustemnt [sic], Optimizer.cc:42)."""
+        from ..solvers import ba_cg
+        from ..solvers.ba_core import BAProblem
+
+        K, P, N = m.K, m.P, m.N
+        obs = m.kf_obs
+        feat_ok = m.kf_feat_valid & m.kf_valid[:, None]
+        e_valid = feat_ok & (obs >= 0) & m.mp_valid[jnp.clip(obs, 0)]
+        cam_idx = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N)).reshape(-1)
+        octv = m.kf_octave.reshape(-1).astype(jnp.float32)
+        fid = np.asarray(m.kf_frame_id)
+        anchor = int(np.argmin(np.where(np.asarray(m.kf_valid), fid, 1 << 30)))
+        prob = BAProblem(
+            R=m.kf_R, t=m.kf_t, points=m.mp_pos,
+            cam_fixed=jnp.zeros((K,), bool).at[anchor].set(True)
+            | ~m.kf_valid,
+            cam_valid=m.kf_valid, pt_valid=m.mp_valid,
+            cam_idx=cam_idx.astype(jnp.int32),
+            pt_idx=jnp.clip(obs, 0).reshape(-1).astype(jnp.int32),
+            uv=m.kf_xy.reshape(-1, 2), ur=m.kf_ur.reshape(-1),
+            inv_sigma2=1.0 / (1.2 ** (2.0 * octv)),
+            edge_valid=e_valid.reshape(-1),
+        )
+        R, t, X, _, _ = ba_cg.bundle_adjust_cg(
+            cam=self.cam, prob=prob, iters=10)
+        return ms.update_mappoint_stats(
+            m._replace(kf_R=R, kf_t=t, mp_pos=X))
 
     def _replay_loops(self, m: ms.MapState, st: FreeState):
         """Ordered replay of loop detection/resolution over the recorded
