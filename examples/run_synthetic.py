@@ -97,7 +97,8 @@ def main(n_frames: int = 40):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(pos[0]) if pos else 40
     rmse, n_ok = main(n)
     assert n_ok > 0.6 * n, f"tracked only {n_ok}/{n}"
     assert rmse < 0.10, f"ATE {rmse}"

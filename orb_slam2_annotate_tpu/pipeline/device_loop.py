@@ -56,7 +56,7 @@ from .frame import (Frame, _make_frame_mono, _make_frame_rgbd,
                     _make_frame_stereo)
 from .system import SlamConfig
 
-MAX_LOOPS = 16  # historic loop-edge ring capacity (device-side)
+from .loop_closing import MAX_LOOP_EDGES as MAX_LOOPS
 
 # tracker modes (device scalar)
 MODE_FIRST = 0      # waiting for a usable init frame
@@ -217,14 +217,24 @@ def make_step(cfg: SlamConfig):
             key = jax.random.fold_in(jax.random.PRNGKey(SEED + 13),
                                      frame_id)
             (m, bows, streaks, la, lb, lk, n_loops, last_nkf,
-             _closed, ldiag) = free_loop_stage(
+             closed, ldiag) = free_loop_stage(
                 LCFG, cam, vocab, m, st.bows, slot, st.streaks,
                 st.loop_edge_a, st.loop_edge_b, st.loop_edge_ok,
                 st.n_loops, st.last_loop_nkf, key)
-            st = st._replace(streaks=streaks, loop_edge_a=la,
-                             loop_edge_b=lb, loop_edge_ok=lk,
-                             n_loops=n_loops, last_loop_nkf=last_nkf,
-                             ring_loop=st.ring_loop.at[frame_id].set(ldiag))
+            # a closure moved every keyframe/point into the corrected
+            # frame — the tracker MUST re-anchor there or the next
+            # frames project the moved map from the drifted pose and go
+            # LOST (the sync System adopts the corrected pose the same
+            # way, system.py 'adopt possibly-updated pose').  Velocity
+            # resets: the constant-velocity prior spans the correction.
+            st = st._replace(
+                streaks=streaks, loop_edge_a=la,
+                loop_edge_b=lb, loop_edge_ok=lk,
+                n_loops=n_loops, last_loop_nkf=last_nkf,
+                R=jnp.where(closed, m.kf_R[slot], st.R),
+                t=jnp.where(closed, m.kf_t[slot], st.t),
+                has_vel=st.has_vel & ~closed,
+                ring_loop=st.ring_loop.at[frame_id].set(ldiag))
         else:
             bow = voc.bow_vector(vocab, m.kf_desc[slot],
                                  m.kf_feat_valid[slot])
@@ -663,10 +673,13 @@ class FreeRunner:
         m = st.m
 
         n_loops = int(st.n_loops)
-        if resolve_loops and self.cfg.enable_loop_closing:
+        if resolve_loops:
+            # offline replay over the recorded keyframes — the fallback
+            # when live closing was disabled (enable_loop_closing=False
+            # keeps the per-frame program lean)
             m, extra = self._replay_loops(m, st)
             n_loops += extra
-        if n_loops > 0:
+        if n_loops > 0 and self._lc.cfg.run_global_ba:
             # global BA after loop closure (RunGlobalBundleAdjustment,
             # LoopClosing.cc:756): the live device funnel applies the
             # essential-graph correction; the full-map refinement runs
@@ -726,7 +739,7 @@ class FreeRunner:
             edge_valid=e_valid.reshape(-1),
         )
         R, t, X, _, _ = ba_cg.bundle_adjust_cg(
-            cam=self.cam, prob=prob, iters=10)
+            cam=self.cam, prob=prob, iters=self._lc.cfg.global_ba_iters)
         return ms.update_mappoint_stats(
             m._replace(kf_R=R, kf_t=t, mp_pos=X))
 

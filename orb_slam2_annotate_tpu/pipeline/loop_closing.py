@@ -50,6 +50,8 @@ from ..worldmap import map_state as ms
 from ..worldmap import vocabulary as voc
 
 MIN_COVIS_LOOP = 100  # essential-graph covisibility edge weight (Optimizer.cc:858)
+MAX_LOOP_EDGES = 16   # historic loop-edge capacity, shared by the host
+                      # path (_correct_loop) and the free-running ring
 
 
 class LoopDetectOut(NamedTuple):
@@ -331,7 +333,11 @@ def free_loop_stage(cfg: "LoopCloserConfig", cam: CameraModel, vocab,
             m = lm_mod.fuse_points_into(m, cam, fuse_targets, fuse_ok,
                                         loop_pts, update_stats=False)
             m = ms.update_mappoint_stats(m)
-            i = jnp.clip(n_loops, 0, MAXL - 1)
+            # a true ring: past capacity, the OLDEST edge is recycled
+            # (dropping the newest would silently discard each fresh
+            # closure's constraint); closed seams also hold through the
+            # covisibility edges the seam fusion created
+            i = jnp.mod(n_loops, MAXL)
             loop_a = loop_a.at[i].set(slot.astype(jnp.int32))
             loop_b = loop_b.at[i].set(cand.astype(jnp.int32))
             loop_ok = loop_ok.at[i].set(True)
@@ -1030,11 +1036,10 @@ class LoopCloser:
         # jitted programs regardless of map size.
         # Historic loop edges live in a tiny host list (one entry per
         # past closure) — padded to a small static cap.
-        MAX_LOOPS = 16
-        h_a = np.full(MAX_LOOPS, 0, np.int32)
-        h_b = np.full(MAX_LOOPS, 0, np.int32)
-        h_ok = np.zeros(MAX_LOOPS, bool)
-        for i, (a, b) in enumerate(self.loop_edges[:MAX_LOOPS]):
+        h_a = np.full(MAX_LOOP_EDGES, 0, np.int32)
+        h_b = np.full(MAX_LOOP_EDGES, 0, np.int32)
+        h_ok = np.zeros(MAX_LOOP_EDGES, bool)
+        for i, (a, b) in enumerate(self.loop_edges[-MAX_LOOP_EDGES:]):
             h_a[i], h_b[i], h_ok[i] = a, b, True
 
         prob = build_essential_graph(
