@@ -595,8 +595,16 @@ class FreeRunner:
 
     # -- dispatch-only per-frame API ----------------------------------
 
+    def _check_capacity(self):
+        if self.frame_id >= self.max_frames:
+            raise RuntimeError(
+                f"FreeRunner ring capacity exceeded: frame {self.frame_id}"
+                f" >= max_frames={self.max_frames} (the device rings are"
+                " statically sized; construct with a larger max_frames)")
+
     def track_mono(self, image, timestamp: float):
         self.frame_id += 1
+        self._check_capacity()
         self._timestamps.append(timestamp)
         img = image if isinstance(image, jnp.ndarray) else jnp.asarray(
             np.asarray(image))
@@ -606,6 +614,7 @@ class FreeRunner:
 
     def track_rgbd(self, image, depth, timestamp: float):
         self.frame_id += 1
+        self._check_capacity()
         self._timestamps.append(timestamp)
         img = jnp.asarray(np.asarray(image))
         dep = jnp.asarray(np.asarray(depth, np.float32))
@@ -615,6 +624,7 @@ class FreeRunner:
 
     def track_stereo(self, image_l, image_r, timestamp: float):
         self.frame_id += 1
+        self._check_capacity()
         self._timestamps.append(timestamp)
         il = jnp.asarray(np.asarray(image_l))
         ir = jnp.asarray(np.asarray(image_r))
