@@ -12,6 +12,26 @@ from __future__ import annotations
 import numpy as np
 
 
+
+
+def draw_frame_into(ax, image, frame, obs, extra_title: str = ""):
+    """Render the FrameDrawer panel into an existing axes (shared by
+    draw_frame and InteractiveViewer so the styling cannot drift)."""
+    if image is not None:
+        ax.imshow(np.asarray(image), cmap="gray", vmin=0, vmax=255)
+    if frame is not None:
+        xy = np.asarray(frame.xy_raw)
+        v = np.asarray(frame.valid)
+        tracked = (np.asarray(obs) >= 0) if obs is not None else (
+            np.zeros(len(xy), bool))
+        ax.scatter(xy[v & ~tracked, 0], xy[v & ~tracked, 1], s=6,
+                   facecolors="none", edgecolors="#ffcc00", linewidths=0.5)
+        ax.scatter(xy[v & tracked, 0], xy[v & tracked, 1], s=10,
+                   facecolors="none", edgecolors="#00dd44", linewidths=0.9)
+        ax.set_title(f"{int((v & tracked).sum())} tracked / "
+                     f"{int(v.sum())} features" + extra_title)
+    ax.axis("off")
+
 def draw_frame(image, frame, obs, path: str | None = None):
     """FrameDrawer::DrawFrame analog: keypoints over the image; tracked
     map points green, untracked features faint."""
@@ -20,16 +40,7 @@ def draw_frame(image, frame, obs, path: str | None = None):
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(8, 6))
-    ax.imshow(np.asarray(image), cmap="gray", vmin=0, vmax=255)
-    xy = np.asarray(frame.xy_raw)
-    v = np.asarray(frame.valid)
-    tracked = np.asarray(obs) >= 0
-    ax.scatter(xy[v & ~tracked, 0], xy[v & ~tracked, 1], s=6,
-               facecolors="none", edgecolors="#ffcc00", linewidths=0.5)
-    ax.scatter(xy[v & tracked, 0], xy[v & tracked, 1], s=10,
-               facecolors="none", edgecolors="#00dd44", linewidths=0.9)
-    ax.set_title(f"{int((v & tracked).sum())} tracked / {int(v.sum())} features")
-    ax.axis("off")
+    draw_frame_into(ax, image, frame, obs)
     if path:
         fig.savefig(path, dpi=110, bbox_inches="tight")
         plt.close(fig)
@@ -174,26 +185,12 @@ class InteractiveViewer:
         if pose is None and self.system is not None:
             pose = (np.asarray(self.system.R), np.asarray(self.system.t))
 
-        # ---- frame panel
+        # ---- frame panel (shared renderer with draw_frame)
         ax = self.ax_img
         ax.clear()
-        if image is not None:
-            ax.imshow(np.asarray(image), cmap="gray", vmin=0, vmax=255)
-        if frame is not None:
-            xy = np.asarray(frame.xy_raw)
-            v = np.asarray(frame.valid)
-            tracked = (np.asarray(obs) >= 0) if obs is not None else (
-                np.zeros(len(xy), bool))
-            ax.scatter(xy[v & ~tracked, 0], xy[v & ~tracked, 1], s=6,
-                       facecolors="none", edgecolors="#ffcc00",
-                       linewidths=0.5)
-            ax.scatter(xy[v & tracked, 0], xy[v & tracked, 1], s=10,
-                       facecolors="none", edgecolors="#00dd44",
-                       linewidths=0.9)
-            ax.set_title(f"{int((v & tracked).sum())} tracked / "
-                         f"{int(v.sum())} features"
-                         + ("  [LOC]" if self.localization_mode else ""))
-        ax.axis("off")
+        draw_frame_into(
+            ax, image, frame, obs,
+            extra_title="  [LOC]" if self.localization_mode else "")
 
         # ---- map panel
         axm = self.ax_map
