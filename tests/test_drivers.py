@@ -143,3 +143,33 @@ def test_load_image_gray_without_cv2(tmp_path, monkeypatch):
     out = datasets.load_image_gray(str(tmp_path / "x.png"))
     assert out.shape == (24, 32)
     assert float(np.abs(out - img).max()) <= 2.0
+
+
+@pytest.mark.slow
+def test_run_euroc_mono_from_fixture(tmp_path):
+    """EuRoC mav0 layout: cam0/data/<ns>.png + a timestamp list file
+    (mono_euroc.cc LoadImages)."""
+    n = 16
+    frames = _render_frames(n)
+    seq = tmp_path / "mav0"
+    (seq / "cam0" / "data").mkdir(parents=True)
+    ts_lines = []
+    for k, img in enumerate(frames):
+        ns = str(1403636579763555584 + k * 50_000_000)  # ~20 Hz in ns
+        _write_png(str(seq / "cam0" / "data" / f"{ns}.png"), img)
+        ts_lines.append(ns)
+    with open(tmp_path / "timestamps.txt", "w") as f:
+        f.write("\n".join(ts_lines) + "\n")
+    with open(tmp_path / "settings.yaml", "w") as f:
+        f.write(SETTINGS_YAML)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _run_driver([os.path.join(repo, "examples", "run_euroc.py"), "mono",
+                 str(tmp_path / "settings.yaml"), str(seq),
+                 str(tmp_path / "timestamps.txt")],
+                cwd=str(tmp_path))
+
+    rows = np.loadtxt(str(tmp_path / "CameraTrajectory.txt"))
+    assert rows.ndim == 2 and rows.shape[1] == 8
+    q = rows[:, 4:8]
+    assert np.allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-3)
