@@ -68,42 +68,67 @@ def _ensure_usable_backend(probe_timeout_s: float = 90.0, retries: int = 6):
 _ensure_usable_backend()
 
 
-def main():
+def run_sensor_bench(sensor: str = "mono", n_warm: int = 16,
+                     n_bench: int = 96):
+    """Steady-state fps/chip for one sensor path (VERDICT r3 item 10:
+    stereo doubles extraction work and runs the SAD sub-pixel row
+    matcher; RGB-D adds the depth-seeded point path).  Returns a dict."""
     from orb_slam2_annotate_tpu.geometry import CameraModel
     from orb_slam2_annotate_tpu.io import evaluation, synthetic
     from orb_slam2_annotate_tpu.pipeline import SlamConfig
     from orb_slam2_annotate_tpu.pipeline.device_loop import FreeRunner
 
-    n_warm = 16
-    n_bench = 96
     n_frames = n_warm + n_bench
-
-    cam = CameraModel.create(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
-                             width=640, height=480)
+    baseline = 0.3
+    cam = CameraModel.create(
+        fx=500.0, fy=500.0, cx=320.0, cy=240.0, width=640, height=480,
+        bf=(500.0 * baseline if sensor != "mono" else 0.0))
     scene = synthetic.PlaneScene(seed=1)
     poses = synthetic.orbit_trajectory(n_frames, step=0.05)
 
+    kw = {} if sensor == "mono" else dict(sensor=sensor, th_depth=100.0)
     cfg = SlamConfig(n_features=1024, max_kf=128, max_mp=16384,
-                     max_frames_between_kf=6, init_min_matches=60)
-    runner = FreeRunner(cam, cfg, max_frames=n_frames)
+                     max_frames_between_kf=6, init_min_matches=60, **kw)
+    runner = FreeRunner(cam, cfg, max_frames=n_frames, auto_grow=False)
 
     # pre-render all frames so host rendering is outside the timed loop;
     # uint8 like a real camera (4x less host->device traffic)
-    frames = [np.clip(scene.render(cam, R, t)[0], 0, 255).astype(np.uint8)
-              for R, t in poses]
+    u8 = lambda im: np.clip(im, 0, 255).astype(np.uint8)
+    frames = []
+    for R, t in poses:
+        img, dep = scene.render(cam, R, t)
+        if sensor == "stereo":
+            # rectified right camera: displaced by the baseline along the
+            # camera x axis (t_R = t_L - [b,0,0], as in test_e2e_stereo)
+            t_r = np.asarray(t, np.float32) - np.asarray(
+                [baseline, 0, 0], np.float32)
+            img_r, _ = scene.render(cam, R, t_r)
+            frames.append((u8(img), u8(img_r)))
+        elif sensor == "rgbd":
+            frames.append((u8(img), dep.astype(np.float32)))
+        else:
+            frames.append((u8(img),))
+
+    def track(k):
+        if sensor == "stereo":
+            runner.track_stereo(frames[k][0], frames[k][1], k / 30.0)
+        elif sensor == "rgbd":
+            runner.track_rgbd(frames[k][0], frames[k][1], k / 30.0)
+        else:
+            runner.track_mono(frames[k][0], k / 30.0)
 
     # compile + first-execute the step program, run the warmup segment
     # (map bootstrap) and wait for it — WITHOUT reading anything
     runner.warmup()
     for k in range(n_warm):
-        runner.track_mono(frames[k], k / 30.0)
+        track(k)
     runner.block()
 
     # timed region: dispatch the steady-state segment and wait for the
     # device to drain.  Zero host<->device reads inside.
     t0 = time.perf_counter()
     for k in range(n_warm, n_frames):
-        runner.track_mono(frames[k], k / 30.0)
+        track(k)
     runner.block()
     total = time.perf_counter() - t0
 
@@ -118,16 +143,57 @@ def main():
 
     est = np.stack([-T[:3, :3].T @ T[:3, 3] for _, T in tracked])
     gt = np.stack([-poses[k][0].T @ poses[k][1] for k, _ in tracked])
-    rmse, _ = evaluation.ate_rmse(est, gt, with_scale=True)
-    print(f"bench: tracked={len(tracked)}/{n_frames} "
+    rmse, _ = evaluation.ate_rmse(est, gt,
+                                  with_scale=(sensor == "mono"))
+    print(f"bench[{sensor}]: tracked={len(tracked)}/{n_frames} "
           f"kfs={out['n_keyframes']} mps={out['n_mappoints']} "
           f"ate={rmse * 100:.2f}cm total={total:.3f}s", file=sys.stderr)
-    print(json.dumps({
-        "metric": "synthetic_mono_tracking_fps",
-        "value": round(fps, 2),
+    return dict(fps=round(fps, 2), ate_cm=round(float(rmse) * 100, 2),
+                tracked=len(tracked), n_frames=n_frames,
+                n_keyframes=out["n_keyframes"])
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sensor", default="mono",
+                    choices=["mono", "stereo", "rgbd"])
+    ap.add_argument("--skip-extras", action="store_true",
+                    help="headline metric only (no depth-sensor rows, "
+                         "no long run)")
+    ap.add_argument("--long-frames", type=int, default=1248)
+    args = ap.parse_args()
+
+    res = run_sensor_bench(args.sensor)
+    fps = res["fps"]
+    record = {
+        "metric": f"synthetic_{args.sensor}_tracking_fps",
+        "value": fps,
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    }
+
+    if args.sensor == "mono" and not args.skip_extras:
+        # depth-sensor variants (reference: stereo_kitti.cc timing)
+        try:
+            record["sensors"] = {
+                "stereo": run_sensor_bench("stereo"),
+                "rgbd": run_sensor_bench("rgbd"),
+            }
+        except Exception as e:  # never lose the headline metric
+            print(f"bench: sensor variants failed: {e!r}", file=sys.stderr)
+        # long-sequence stress (VERDICT r3 item 3): 1248-frame multi-loop
+        # spiral with live closures + in-program GBA + capacity growth
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools.bench_long import run_long
+
+            record["long_run"] = run_long(n_frames=args.long_frames)
+        except Exception as e:
+            print(f"bench: long run failed: {e!r}", file=sys.stderr)
+
+    print(json.dumps(record))
     return 0
 
 

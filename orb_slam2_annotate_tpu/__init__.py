@@ -30,13 +30,19 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: the pipeline is ~a dozen sizable XLA
 # programs and host compile time dominates cold starts on small hosts.
+# OPT-IN via ORBTPU_JAX_CACHE=<dir>: XLA:CPU AOT executable
+# (de)serialization proved unreliable across machine migrations in this
+# environment (entries written under different CPU features SIGILL on
+# load; serialization can abort() the process — both observed r4), so
+# the cache is no longer enabled by default.
 import os as _os
 
-_cache_dir = _os.environ.get("ORBTPU_JAX_CACHE", "/tmp/jax_cache_orbtpu")
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-except Exception:  # pragma: no cover - cache is best-effort
-    pass
+_cache_dir = _os.environ.get("ORBTPU_JAX_CACHE")
+if _cache_dir:
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

@@ -343,6 +343,31 @@ class StructuredScene(PlaneScene):
                             make_structured_texture(rng, tex_size)))
 
 
+def multi_loop_trajectory(n_frames: int, laps: float = 3.1,
+                          r0: float = 1.5, dr: float = 0.35):
+    """Outward-facing spiral: `laps` revolutions with the radius growing
+    `dr` per lap (world->cam poses).
+
+    The long-sequence stress shape (KITTI-00-class, reference
+    README.md:130): every revolution revisits the same walls — each a
+    loop-closure opportunity — while the growing radius changes the
+    viewpoint enough that drift accumulates between revisits.
+    """
+    poses = []
+    for k in range(n_frames):
+        frac = laps * k / n_frames
+        a = 2.0 * np.pi * frac
+        r = r0 + dr * frac
+        sa, ca = np.sin(a), np.cos(a)
+        p = np.array([r * sa, 0.0, r * ca], np.float32)
+        R = np.array([[ca, 0, -sa],
+                      [0, 1, 0],
+                      [sa, 0, ca]], np.float32)
+        t = -R @ p
+        poses.append((R, t))
+    return poses
+
+
 def circle_trajectory(n_frames: int, radius: float = 1.0,
                       turns: float = 1.0):
     """Outward-facing camera moving on a circle (world->cam poses).

@@ -42,3 +42,29 @@ def map_mesh(n_devices: int | None = None, axis: str = "mp") -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_map_state(m, mesh: Mesh, axis: str = "mp"):
+    """Place a MapState on the mesh with its map-point axis sharded and
+    everything else replicated (SURVEY §2.3 final row / §5.7: the map
+    grows with the mesh).
+
+    Every [P, ...] leaf (positions, descriptors, stats, validity) splits
+    over `axis`; keyframe arrays and scalars replicate.  The jitted
+    pipeline programs (tracking, the fused keyframe chain, loop closing)
+    are sharding-agnostic jnp — XLA partitions the [K,P] observation
+    matmuls, frustum tests and gathers and inserts the collectives
+    (psum/all-gather on the [K]-sized reductions) over ICI.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec_pt = NamedSharding(mesh, PartitionSpec(axis))
+    spec_rep = NamedSharding(mesh, PartitionSpec())
+    P_ax = m.P
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == P_ax:
+            return jax.device_put(x, spec_pt)
+        return jax.device_put(x, spec_rep)
+
+    return jax.tree.map(place, m)

@@ -321,7 +321,10 @@ def create_new_mappoints(m: ms.MapState, cam: CameraModel, slot,
         mp_visible=mp_vis, mp_found=mp_fnd, kf_obs=kf_obs,
     )
     if update_stats:
-        m = ms.update_mappoint_stats(m)
+        # bounded refresh: the chain only touched the covisible window's
+        # points (a full pass OOMs at grown P tiers — map_state.
+        # update_mappoint_geometry docstring)
+        m = ms.update_mappoint_stats_touched(m, window_touched_points(m, slot))
     return m
 
 
@@ -497,7 +500,7 @@ def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
                            do_add=do_add, do_merge=do_merge,
                            e2_gate=e2_gate, ratio=ratio, max_dist=max_dist)
     if update_stats:
-        m = ms.update_mappoint_stats(m)
+        m = ms.update_mappoint_stats_touched(m, window_touched_points(m, slot))
     return m
 
 

@@ -84,6 +84,17 @@ class SlamConfig:
     enable_loop_closing: bool = True
     enable_relocalization: bool = True
     enable_kf_culling: bool = True
+    # free-running path (pipeline/device_loop.py) feature parity toggles
+    # — in-program global BA after each live closure (LoopClosing.cc:756)
+    # and the auto-reset-after-early-loss branch (Tracking.cc:496-504)
+    free_live_gba: bool = True
+    free_auto_reset: bool = True
+    # shard the map-point axis of the WHOLE live pipeline over the device
+    # mesh (SURVEY §2.3 final row): every per-keyframe program (tracking
+    # projection/matching over [P], the fused keyframe chain's
+    # triangulation + local BA, loop closing) then runs SPMD with XLA
+    # inserting the collectives.  No-op with a single device.
+    shard_points: bool = False
     # pipelined dispatch: keep up to this many frames in flight before
     # resolving their (prefetched) stats, so the host never blocks on the
     # device link inside the hot loop.  Keyframe/LOST decisions then lag
@@ -118,6 +129,15 @@ class System:
         self.cfg = config or SlamConfig()
         self.map = ms.empty_map(self.cfg.max_kf, self.cfg.max_mp,
                                 self.cfg.n_features)
+        self._mesh = None
+        if self.cfg.shard_points:
+            import jax as _jax
+
+            if len(_jax.devices()) > 1:
+                from ..parallel.mesh import map_mesh
+
+                self._mesh = map_mesh()
+                self.map = self._place_map(self.map)
         self.state = "NO_IMAGES"     # NO_IMAGES -> NOT_INITIALIZED -> OK | LOST
         self.frame_id = -1
         self.records: list[FrameRecord] = []
@@ -288,19 +308,20 @@ class System:
         from ..io import checkpoint
 
         self.map, extra = checkpoint.load_map(path)
+        self.map = self._place_map(self.map)
         self.state = "LOST"          # must relocalize into the loaded map
         self.vel = None
         self.ref_kf = int(extra.get("ref_kf", 0))
         self._kf_valid_host = np.asarray(self.map.kf_valid).copy()
         if self.loop_closer is not None:
-            # rebuild the BoW database from keyframe descriptors
+            # rebuild the BoW database from keyframe descriptors — one
+            # vmapped program over all K slots (shared with FreeRunner
+            # .load_map, pipeline/policy.py)
+            from . import policy
+
             lc = self.loop_closer
-            for slot in np.nonzero(np.asarray(self.map.kf_valid))[0]:
-                bow = voc.bow_vector(
-                    lc.vocab, self.map.kf_desc[int(slot)],
-                    self.map.kf_feat_valid[int(slot)],
-                )
-                lc.db = lc.db.add(int(slot), bow)
+            lc.db = voc.KeyFrameDatabase(
+                policy.keyframe_bows(lc.vocab, self.map))
 
     # ------------------------------------------------------------------
     # internals
@@ -501,6 +522,15 @@ class System:
         self.records.append(rec)
         return True
 
+    def _place_map(self, m):
+        """Re-apply the mesh sharding (after construction, growth or
+        load; jitted updates preserve it on their own)."""
+        if self._mesh is None:
+            return m
+        from ..parallel.mesh import shard_map_state
+
+        return shard_map_state(m, self._mesh)
+
     def _ensure_capacity(self):
         """Grow the map's (K, P) capacity tiers before inserting a
         keyframe (SURVEY §7; replaces the silent slot-0 overwrite the
@@ -514,7 +544,7 @@ class System:
         """
         if self._kf_valid_host.all():
             new_K = 2 * self.map.K
-            self.map = ms.grow_map(self.map, new_K=new_K)
+            self.map = self._place_map(ms.grow_map(self.map, new_K=new_K))
             self._kf_valid_host = np.concatenate([
                 self._kf_valid_host,
                 np.zeros(new_K - len(self._kf_valid_host), bool),
@@ -529,7 +559,7 @@ class System:
             self._mp_upper = self.n_mappoints  # one device read, rare
             if self._mp_upper + 2 * n > self.map.P:
                 new_P = 2 * self.map.P
-                self.map = ms.grow_map(self.map, new_P=new_P)
+                self.map = self._place_map(ms.grow_map(self.map, new_P=new_P))
                 if self.cfg.verbose:
                     print(f"  [map] map-point capacity -> {new_P}")
 
@@ -624,18 +654,19 @@ class System:
             self.reset()
 
     def _need_keyframe(self, n_tracked: int, frame_id: int | None = None) -> bool:
+        """Keyframe decision — the SAME shared predicate the free-running
+        device loop evaluates on device scalars (pipeline/policy.py,
+        NeedNewKeyFrame, Tracking.cc:1075), here on host ints."""
+        from . import policy
+
         since = (self.frame_id if frame_id is None else frame_id) \
             - self.last_kf_frame
-        if since < self.cfg.min_frames_between_kf:
-            return False
-        c1 = since >= self.cfg.max_frames_between_kf
-        # decay rule: tracked-point count fell well below its peak since
-        # the last keyframe — the functional analog of NeedNewKeyFrame's
-        # mnMatchesInliers < 0.9 * nRefMatches (Tracking.cc:1098); using
-        # the in-window peak makes the baseline self-calibrating
-        peak = getattr(self, "_peak_n_local", 0)
-        c2 = n_tracked < self.cfg.kf_ref_ratio * max(peak, 1)
-        return (c1 or c2) and n_tracked > self.cfg.min_inliers_track
+        return bool(policy.need_new_keyframe(
+            since, n_tracked, getattr(self, "_peak_n_local", 0),
+            min_frames=self.cfg.min_frames_between_kf,
+            max_frames=self.cfg.max_frames_between_kf,
+            ref_ratio=self.cfg.kf_ref_ratio,
+            min_track=self.cfg.min_inliers_track))
 
     def _create_keyframe(self, frame, timestamp, obs, has_depth):
         self._ensure_capacity()
@@ -727,62 +758,27 @@ class System:
         if not bool(init.success):
             return False
 
-        # ---- scale normalization: median depth -> 1 (Tracking.cc:779-800)
-        good = np.asarray(init.good)
-        X = np.asarray(init.points)
-        z = X[good, 2]
-        med = float(np.median(z[z > 0])) if (z > 0).any() else 1.0
-        X = X / med
-        t1 = np.asarray(init.t) / med
+        # ---- shared bootstrap-map builder (pipeline/policy.py): scale
+        # normalization to median depth 1 (Tracking.cc:779-800), KF0+KF1
+        # insertion, map points, stats, initial two-view BA — the SAME
+        # traced function the free-running device loop inlines
+        from . import policy
 
-        # ---- build the initial map: KF0 (identity) + KF1
-        obs0 = np.full(f0.xy.shape[0], -1, np.int32)
-        obs1 = np.full(frame.xy.shape[0], -1, np.int32)
-        gidx = np.nonzero(good)[0]
-        mp_ids = np.arange(len(gidx), dtype=np.int32)
-        obs0[gidx] = mp_ids
-        obs1[np.asarray(idx)[gidx]] = mp_ids
-
-        m = self.map
-        m = ms.insert_keyframe(
-            m, jnp.asarray(0), jnp.eye(3), jnp.zeros(3),
-            self._init_fid, self._init_ts,
-            f0.xy, f0.ur, f0.depth, f0.octave, f0.angle, f0.desc, f0.valid,
-            jnp.asarray(obs0),
-        )
-        m = ms.insert_keyframe(
-            m, jnp.asarray(1), jnp.asarray(init.R), jnp.asarray(t1),
-            self.frame_id, timestamp,
-            frame.xy, frame.ur, frame.depth, frame.octave, frame.angle,
-            frame.desc, frame.valid, jnp.asarray(obs1),
-        )
-        P = m.P
-        mp_valid = np.zeros(P, bool)
-        mp_valid[mp_ids] = True
-        mp_pos = np.zeros((P, 3), np.float32)
-        mp_pos[mp_ids] = X[gidx]
-        m = m._replace(
-            mp_pos=jnp.asarray(mp_pos),
-            mp_valid=jnp.asarray(mp_valid),
-            mp_first_kf=jnp.where(jnp.asarray(mp_valid), 0, m.mp_first_kf),
-        )
-        m = ms.update_mappoint_stats(m)
-
-        # ---- initial two-view BA (Tracking.cc:771 GlobalBundleAdjustemnt)
-        out = lm.local_bundle_adjustment(m, self.cam, jnp.asarray(1))
-        self.map = out.map
+        self.map, obs1 = policy.build_mono_init_map(
+            self.map, self.cam, f0, frame, init, idx,
+            self._init_fid, self._init_ts, self.frame_id, timestamp)
 
         self.R = self.map.kf_R[1]
         self.t = self.map.kf_t[1]
         self.last_frame = frame
-        self.last_obs = jnp.asarray(obs1)
+        self.last_obs = obs1
         self.vel = None
         self.ref_kf = 1
         self._kf_valid_host[:2] = True
         self._pose_np = None
         self._rel_np = None
         self.last_kf_frame = self.frame_id
-        self.ref_tracked = len(gidx)
+        self.ref_tracked = int(init.n_good)
         self._init_frame = None
         return True
 
@@ -795,16 +791,13 @@ class System:
         # initialize (stereo matching yields depth on ~60-80% of features)
         if n_depth < min(500, self.cfg.n_features // 2):
             return False
-        obs = jnp.full((frame.xy.shape[0],), -1, jnp.int32)
-        self.map, slot = lm.insert_keyframe_from_frame(
-            self.map, frame, jnp.eye(3), jnp.zeros(3), obs,
-            self.frame_id, timestamp,
-        )
-        slot = int(slot)
+        from . import policy
+
         baseline = float(self.cam.bf) / float(self.cam.fx)
-        self.map = lm.create_depth_mappoints(
-            self.map, self.cam, slot, self.cfg.th_depth * baseline
-        )
+        self.map, slot = policy.build_depth_init_map(
+            self.map, self.cam, frame, self.frame_id, timestamp,
+            self.cfg.th_depth * baseline)
+        slot = int(slot)
         self.R = jnp.eye(3)
         self.t = jnp.zeros(3)
         self.last_frame = frame

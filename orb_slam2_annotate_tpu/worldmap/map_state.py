@@ -234,6 +234,42 @@ def grow_map(m: MapState, new_K: int | None = None,
     )
 
 
+def clear_map(m: MapState) -> MapState:
+    """Jit-safe full map reset: same shapes, empty_map's fill values.
+
+    The device analog of Map::clear() (Map.cc:121) as called from
+    Tracking::Reset (Tracking.cc:1635) — used by the free-running path's
+    auto-reset branch, which cannot call empty_map (host constants would
+    be re-uploaded per reset; this stays inside the traced program).
+    """
+    K, P, N = m.K, m.P, m.N
+    return MapState(
+        kf_R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3)),
+        kf_t=jnp.zeros_like(m.kf_t),
+        kf_valid=jnp.zeros_like(m.kf_valid),
+        kf_frame_id=jnp.full_like(m.kf_frame_id, -1),
+        kf_timestamp=jnp.zeros_like(m.kf_timestamp),
+        kf_xy=jnp.zeros_like(m.kf_xy),
+        kf_ur=jnp.full_like(m.kf_ur, -1.0),
+        kf_depth=jnp.zeros_like(m.kf_depth),
+        kf_octave=jnp.zeros_like(m.kf_octave),
+        kf_angle=jnp.zeros_like(m.kf_angle),
+        kf_desc=jnp.zeros_like(m.kf_desc),
+        kf_feat_valid=jnp.zeros_like(m.kf_feat_valid),
+        kf_obs=jnp.full_like(m.kf_obs, -1),
+        mp_pos=jnp.zeros_like(m.mp_pos),
+        mp_valid=jnp.zeros_like(m.mp_valid),
+        mp_desc=jnp.zeros_like(m.mp_desc),
+        mp_normal=jnp.zeros_like(m.mp_normal),
+        mp_min_dist=jnp.zeros_like(m.mp_min_dist),
+        mp_max_dist=jnp.full_like(m.mp_max_dist, jnp.inf),
+        mp_visible=jnp.ones_like(m.mp_visible),
+        mp_found=jnp.ones_like(m.mp_found),
+        mp_first_kf=jnp.full_like(m.mp_first_kf, -1),
+        n_kf=jnp.zeros_like(m.n_kf),
+    )
+
+
 def free_mp_slots(m: MapState, count: int) -> jnp.ndarray:
     """Indices of `count` free map-point slots ([count] i32).
 
@@ -307,6 +343,13 @@ def _stats_from_table(m: MapState, pos, obs_kf, obs_ft, obs_cnt, obs_mask):
     new_desc = jnp.take_along_axis(
         descs, best[:, None, None].repeat(DESC_WORDS, -1), axis=1)[:, 0]
 
+    normal, min_d, max_d = _geometry_from_table(
+        m, pos, obs_kf, obs_ft, obs_mask)
+    return new_desc, normal, min_d, max_d
+
+
+def _geometry_from_table(m: MapState, pos, obs_kf, obs_ft, obs_mask):
+    """Normal + scale-invariance band only (no descriptor work)."""
     # ---- normal & depth band
     cam_centers = -jnp.einsum("kij,ki->kj", m.kf_R.transpose(0, 2, 1), m.kf_t)
     centers = cam_centers[obs_kf]  # [Q, O, 3]
@@ -328,7 +371,36 @@ def _stats_from_table(m: MapState, pos, obs_kf, obs_ft, obs_cnt, obs_mask):
     n_levels = 1 + jnp.max(jnp.where(m.kf_feat_valid, m.kf_octave, 0))
     max_dist = ref_dist * scale
     min_dist = max_dist / (1.2 ** (n_levels - 1).astype(jnp.float32))
-    return new_desc, normal, 0.8 * min_dist, 1.2 * max_dist
+    return normal, 0.8 * min_dist, 1.2 * max_dist
+
+
+@jax.jit
+def update_mappoint_geometry(m: MapState) -> MapState:
+    """Refresh normals + depth bands (and observation-based validity) for
+    ALL points WITHOUT touching descriptors.
+
+    The large-map companion of update_mappoint_stats: after a loop
+    correction or a global BA, every point and keyframe MOVED — normals
+    and invariance bands are stale everywhere — but no descriptor
+    changed (the reference likewise only calls UpdateNormalAndDepth in
+    those paths, LoopClosing.cc:795-851).  The full descriptor pass
+    materializes a [P, MAX_OBS, MAX_OBS] Hamming cube plus a [P, MAX_OBS,
+    DESC_WORDS] gather — at the grown capacity tiers (P >= 64k) that is
+    GBs of tile-padded HBM traffic and OOMs the step program (measured,
+    round 4 long-run); this pass keeps only [P, MAX_OBS] index tables
+    and [P, MAX_OBS, 3] center gathers.
+    """
+    obs_kf, obs_ft, obs_cnt, obs_mask = observation_table(m)
+    normal, min_d, max_d = _geometry_from_table(
+        m, m.mp_pos, obs_kf, obs_ft, obs_mask)
+    has_obs = obs_cnt > 0
+    upd = m.mp_valid & has_obs
+    return m._replace(
+        mp_normal=jnp.where(upd[:, None], normal, m.mp_normal),
+        mp_min_dist=jnp.where(upd, min_d, m.mp_min_dist),
+        mp_max_dist=jnp.where(upd, max_d, m.mp_max_dist),
+        mp_valid=m.mp_valid & has_obs,
+    )
 
 
 @jax.jit
