@@ -310,21 +310,24 @@ def make_step(cfg: SlamConfig):
                                  m.kf_feat_valid[slot])
             bows = st.bows.at[slot].set(bow)
 
-        # NOTE: the tracker adopts the chain's OBSERVATION row (the
-        # fresh keyframe's post-BA/triangulation associations — without
-        # them the motion-model search starves on fresh scenery and the
-        # RoomScene circle loses tracking mid-run) but deliberately NOT
-        # the BA-adjusted POSE: measured on the VGA bench orbit, pose
-        # adoption DOUBLES final ATE (5.2 vs 2.6 cm).  The BA shift
-        # breaks velocity continuity — the constant-velocity prediction
-        # is built from pre-BA poses, and mixing frames from the two
-        # pose streams injects a prediction error at every keyframe.
-        # The map still carries the BA-corrected keyframe; the trajectory
-        # record for this frame is Tcr=identity vs the corrected KF, so
-        # the saved trajectory benefits either way (Tracking.cc keeps
-        # tracking from mCurrentFrame's own pose too).
+        # The tracker adopts the chain's OBSERVATION row (the fresh
+        # keyframe's post-BA/triangulation associations — without them
+        # the motion-model search starves on fresh scenery) AND the
+        # BA-adjusted POSE, exactly like the sync System ('adopt
+        # possibly-updated pose', system.py).  Round 3 deliberately kept
+        # the pre-BA pose here (a 112-frame orbit A/B measured adoption
+        # as 2x ATE) — but the r4 long-run falsified that at scale: on a
+        # 1248-frame rotating sequence the tracker's own pose stream
+        # drifts away from the BA-corrected map until the local-map
+        # windows starve, collapsing tracking at the SAME lap phase
+        # every lap (~52% tracked; the adopting sync path tracks the
+        # identical frames cleanly).  The constant-velocity prediction
+        # stays valid: velocity is relative motion between consecutive
+        # tracked frames and composes with the adopted pose the same way
+        # the sync path composes it.
         return st._replace(
             m=m, bows=bows, traj=traj, traj_ref=traj_ref,
+            R=m.kf_R[slot], t=m.kf_t[slot],
             last_obs=m.kf_obs[slot],
             ref_kf=slot.astype(jnp.int32),
             last_kf_frame=frame_id.astype(jnp.int32),

@@ -122,7 +122,7 @@ class LocalMapTrack(NamedTuple):
 
 @partial(jax.jit, static_argnums=(6, 7))
 def track_local_map(cam: CameraModel, m: MapState, frame: Frame, R, t, obs,
-                    max_local_kf: int = 32, max_local_pts: int = 2048,
+                    max_local_kf: int = 32, max_local_pts: int = 4096,
                     th: float = 1.0) -> LocalMapTrack:
     """SearchLocalPoints + final pose refinement (Tracking.cc:1025-1073).
 
@@ -175,8 +175,18 @@ def track_local_map(cam: CameraModel, m: MapState, frame: Frame, R, t, obs,
         jnp.ceil(jnp.log(ratio) / jnp.log(SCALE)).astype(jnp.int32), 0, top_oct
     )
 
-    # --- take up to max_local_pts candidates
-    _, cand = jax.lax.top_k(cand_mask.astype(jnp.int32), max_local_pts)
+    # --- take up to max_local_pts candidates.  When the local set
+    # exceeds the cap, keep the most RECENTLY CREATED points first: a
+    # plain 0/1 top_k keeps the lowest slot indices, i.e. the oldest
+    # points — which silently truncates exactly the fresh-scenery points
+    # the tracker needs as the view moves into newly mapped territory
+    # (measured r4 long-run: periodic tracking collapse at the fresh
+    # edge of large 1024-feature maps; the reference has no cap — it
+    # searches every local-KF point, Tracking.cc:1246).
+    cand_score = jnp.where(
+        cand_mask,
+        1.0 + m.mp_first_kf.astype(jnp.float32) * 1e-9, 0.0)
+    _, cand = jax.lax.top_k(cand_score, max_local_pts)
     cvalid = cand_mask[cand]
 
     # search radius: RadiusByViewingCos (ORBmatcher.cc:105) x scale
@@ -322,8 +332,20 @@ def track_frame(cam: CameraModel, m: MapState, frame: Frame,
 
     def with_motion(_):
         R_pred, t_pred = lie.se3_compose(vel_R, vel_t, R_last, t_last)
-        return track_with_motion_model(
+        out = track_with_motion_model(
             cam, m, frame, last_frame, last_obs, R_pred, t_pred)
+
+        # widen-retry (Tracking.cc:985-988): when the 15-px window finds
+        # too few matches — fast rotation leaves the constant-velocity
+        # prediction several px off, and px-constant windows cover half
+        # the physical angle at 2x the focal length — search again at
+        # 2x the radius before falling back to reference-KF tracking
+        def retry(_):
+            return track_with_motion_model(
+                cam, m, frame, last_frame, last_obs, R_pred, t_pred,
+                th=30.0)
+
+        return jax.lax.cond(out[3] < 20, retry, lambda _: out, None)
 
     def without(_):
         return (R_last, t_last, jnp.full((N,), -1, jnp.int32),
@@ -348,7 +370,7 @@ def track_frame(cam: CameraModel, m: MapState, frame: Frame,
     # innovation along the weak mode), and the error grows ~1.6x/frame
     # (Fibonacci).  gamma < 1 makes that loop contractive while keeping
     # most of the motion prior.
-    GAMMA_VEL = 0.8
+    GAMMA_VEL = 1.0
     Ri, ti = lie.se3_inverse(R_last, t_last)
     vR_raw, vt_raw = lie.se3_compose(res.R, res.t, Ri, ti)
     vR, vt = lie.se3_exp(GAMMA_VEL * lie.se3_log(vR_raw, vt_raw))

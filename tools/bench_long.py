@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def run_long(n_frames: int = 1248, vga: bool = True, n_features: int = 1024,
              n_levels: int = 8, laps: float = 3.1, r0: float = 1.5,
              dr: float = 0.35, start_max_kf: int = 128,
-             block_every: int = 96, seed: int = 2, verbose: bool = True):
+             block_every: int = 96, seed: int = 2, tex_size: int | None = None,
+             kf_culling: bool = True, verbose: bool = True):
     """Returns a dict with fps, per-block fps timeline, loop/GBA/reset
     counters, growth events and Sim3-aligned ATE."""
     import jax
@@ -48,7 +49,14 @@ def run_long(n_frames: int = 1248, vga: bool = True, n_features: int = 1024,
                                  width=320, height=240)
         h, w = 240, 320
 
-    scene = synthetic.RoomScene(seed=seed)
+    if tex_size is None:
+        # texture texels per wall must resolve at the render resolution:
+        # the 768-texel walls were authored for QVGA; at VGA they render
+        # ~2 px/texel (low-contrast upsampling) and FAST starves on the
+        # weaker wall sections (measured r4: same run tracks 99.7% at
+        # QVGA, ~52% at VGA with the 768 texture)
+        tex_size = 1536 if vga else 768
+    scene = synthetic.RoomScene(seed=seed, tex_size=tex_size)
     poses = synthetic.multi_loop_trajectory(n_frames, laps=laps, r0=r0, dr=dr)
 
     cfg = SlamConfig(
@@ -56,6 +64,7 @@ def run_long(n_frames: int = 1248, vga: bool = True, n_features: int = 1024,
         max_kf=start_max_kf, max_mp=start_max_kf * 128,
         max_frames_between_kf=6, min_frames_between_kf=2,
         init_min_matches=60, enable_loop_closing=True, seed=0,
+        enable_kf_culling=kf_culling,
     )
     runner = FreeRunner(cam, cfg, max_frames=n_frames, auto_grow=True)
 
@@ -131,6 +140,10 @@ def run_long(n_frames: int = 1248, vga: bool = True, n_features: int = 1024,
     if in_bad:
         spans.append((start, n_frames - 1))
     spans.sort(key=lambda s: s[0] - s[1])
+    nloc = np.asarray(out["n_local"])
+    nloc_ok = nloc[ok_mask] if ok_mask.any() else np.zeros(1)
+    pre_loss = [int(np.median(nloc[max(0, s - 10):s]))
+                for s, _ in sorted(spans)]
     return dict(
         frames=n_frames, resolution=f"{w}x{h}",
         features=n_features, levels=n_levels,
@@ -150,6 +163,8 @@ def run_long(n_frames: int = 1248, vga: bool = True, n_features: int = 1024,
         growth_events=[list(map(int, g)) for g in runner.growth_events],
         first_ok_frame=first_ok,
         lost_spans=[list(s) for s in spans[:8]],
+        nlocal_median_ok=int(np.median(nloc_ok)),
+        nlocal_before_loss=pre_loss[:8],
         platform=jax.devices()[0].platform,
     )
 
@@ -163,10 +178,13 @@ def main():
     ap.add_argument("--laps", type=float, default=3.1)
     ap.add_argument("--r0", type=float, default=1.5)
     ap.add_argument("--dr", type=float, default=0.35)
+    ap.add_argument("--tex", type=int, default=None)
+    ap.add_argument("--no-kf-culling", action="store_true")
     args = ap.parse_args()
     res = run_long(n_frames=args.frames, vga=not args.qvga,
                    n_features=args.features, n_levels=args.levels,
-                   laps=args.laps, r0=args.r0, dr=args.dr)
+                   laps=args.laps, r0=args.r0, dr=args.dr, tex_size=args.tex,
+                   kf_culling=not args.no_kf_culling)
     print(json.dumps(res))
 
 

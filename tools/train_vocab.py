@@ -22,14 +22,15 @@ import jax
 import jax.numpy as jnp
 
 
-def collect_descriptors(n_scenes: int, n_views: int, n_features: int = 512):
+def collect_descriptors(n_scenes: int, n_views: int, n_features: int = 512,
+                        n_levels: int = 4):
     from orb_slam2_annotate_tpu.geometry import CameraModel
     from orb_slam2_annotate_tpu.io import synthetic
     from orb_slam2_annotate_tpu.ops.extractor import ExtractorConfig, extract
 
     cam = CameraModel.create(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
                              width=320, height=240)
-    ecfg = ExtractorConfig(n_features=n_features, n_levels=4)
+    ecfg = ExtractorConfig(n_features=n_features, n_levels=n_levels)
     rng = np.random.RandomState(0)
 
     descs, docs = [], []
@@ -56,13 +57,14 @@ def collect_descriptors(n_scenes: int, n_views: int, n_features: int = 512):
     return np.concatenate(descs), np.concatenate(docs)
 
 
-def retrieval_precision(vocab, cam, n_queries: int = 24) -> float:
+def retrieval_precision(vocab, cam, n_queries: int = 24,
+                        n_features: int = 512, n_levels: int = 4) -> float:
     """Same-place-vs-other-place top-1 retrieval under viewpoint change."""
     from orb_slam2_annotate_tpu.io import synthetic
     from orb_slam2_annotate_tpu.ops.extractor import ExtractorConfig, extract
     from orb_slam2_annotate_tpu.worldmap import vocabulary as voc
 
-    ecfg = ExtractorConfig(n_features=512, n_levels=4)
+    ecfg = ExtractorConfig(n_features=n_features, n_levels=n_levels)
     rng = np.random.RandomState(7)
     scene = synthetic.PlaneScene(seed=99)
 
@@ -104,12 +106,15 @@ def main():
     ap.add_argument("--scenes", type=int, default=6)
     ap.add_argument("--views", type=int, default=24)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--features", type=int, default=512)
+    ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(voc.__file__), "trained_vocab.npz"))
     args = ap.parse_args()
 
     t0 = time.time()
-    descs, docs = collect_descriptors(args.scenes, args.views)
+    descs, docs = collect_descriptors(args.scenes, args.views,
+                                      args.features, args.levels)
     print(f"collected {len(descs)} descriptors from {docs.max()+1} views "
           f"({time.time()-t0:.1f}s)")
 
@@ -122,8 +127,12 @@ def main():
 
     cam = CameraModel.create(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
                              width=320, height=240)
-    p_rand = retrieval_precision(voc.make_vocabulary(args.words), cam)
-    p_train = retrieval_precision(vocab, cam)
+    p_rand = retrieval_precision(voc.make_vocabulary(args.words), cam,
+                                 n_features=args.features,
+                                 n_levels=args.levels)
+    p_train = retrieval_precision(vocab, cam,
+                                  n_features=args.features,
+                                  n_levels=args.levels)
     print(f"retrieval precision@1 under viewpoint change: "
           f"random={p_rand:.2f} trained={p_train:.2f}")
 
