@@ -8,16 +8,32 @@ sequence.  The reference baseline is the i7 real-time claim of 30 fps on
 TUM-class sequences (reference README.md:65, Camera.fps in
 Examples/Monocular/TUM1.yaml).
 
-Round-3 architecture: the free-running device loop
-(pipeline/device_loop.py) — the whole per-frame state machine is ONE
-jitted program and the host performs ZERO device->host reads during the
-timed region (any read permanently degrades the axon remote-TPU session
-to a ~25 ms dispatch floor; r2's per-frame stats read was the 28-fps
-ceiling).  Results (trajectory, map, ATE) are read once at the end,
-after timing.
+Round-5 harness (VERDICT r4 item 1 — the r4 artifact was rc=124 with no
+JSON, and its stereo/rgbd/long numbers were measured after a D2H read
+had already poisoned the session):
 
-Prints exactly one JSON line:
+* ALL timed regions run before ANY device->host read.  The axon
+  remote-TPU runtime permanently degrades a session to a ~25 ms
+  dispatch floor after the first D2H transfer (RESULTS.md); blocking
+  (`block_until_ready`) is a wait, not a read, and does not poison.
+  Order: prepare everything (render + compile + warmup) -> timed mono ->
+  timed stereo -> timed rgbd -> timed long run -> one-shot readbacks.
+* A dispatch-latency probe runs right before the timed phase and its
+  us/dispatch is recorded in the artifact — proof the session was
+  unpoisoned where it matters (~1e2 us clean vs ~2.5e4 us poisoned).
+* The headline JSON line prints IMMEDIATELY after the mono timed
+  segment (fps is pure host clocks; validity/ATE need reads and are
+  appended later).  Progressively richer record lines follow; the LAST
+  line is authoritative.  A timeout at any point leaves a valid line.
+* The long run's frame rendering is disk-cached
+  (synthetic.render_frames_cached — r4 spent 180 s re-rendering the
+  identical deterministic scene inside the budget) and its dispatch
+  loop stops at a wall-clock budget, at a block boundary, so the
+  readback phase is always reached.
+
+Prints JSON lines of the form
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+(the last printed line is the complete artifact).
 """
 
 import json
@@ -67,90 +83,232 @@ def _ensure_usable_backend(probe_timeout_s: float = 90.0, retries: int = 6):
 
 _ensure_usable_backend()
 
+# persistent XLA compile cache for the TPU path: executable
+# serialization is only unreliable for XLA:CPU AOT (tests/conftest.py);
+# TPU entries make the driver's end-of-round run skip the multi-minute
+# step-program compiles this round's warm run already paid for
+if (os.environ.get("JAX_PLATFORMS") != "cpu"
+        and "ORBTPU_JAX_CACHE" not in os.environ):
+    os.environ["ORBTPU_JAX_CACHE"] = "/tmp/orbtpu_xla_cache"
 
-def run_sensor_bench(sensor: str = "mono", n_warm: int = 16,
-                     n_bench: int = 96):
-    """Steady-state fps/chip for one sensor path (VERDICT r3 item 10:
-    stereo doubles extraction work and runs the SAD sub-pixel row
-    matcher; RGB-D adds the depth-seeded point path).  Returns a dict."""
-    from orb_slam2_annotate_tpu.geometry import CameraModel
-    from orb_slam2_annotate_tpu.io import evaluation, synthetic
-    from orb_slam2_annotate_tpu.pipeline import SlamConfig
-    from orb_slam2_annotate_tpu.pipeline.device_loop import FreeRunner
 
-    n_frames = n_warm + n_bench
-    baseline = 0.3
-    cam = CameraModel.create(
-        fx=500.0, fy=500.0, cx=320.0, cy=240.0, width=640, height=480,
-        bf=(500.0 * baseline if sensor != "mono" else 0.0))
-    scene = synthetic.PlaneScene(seed=1)
-    poses = synthetic.orbit_trajectory(n_frames, step=0.05)
+def _emit(record):
+    print(json.dumps(record), flush=True)
 
-    kw = {} if sensor == "mono" else dict(sensor=sensor, th_depth=100.0)
-    cfg = SlamConfig(n_features=1024, max_kf=128, max_mp=16384,
-                     max_frames_between_kf=6, init_min_matches=60, **kw)
-    runner = FreeRunner(cam, cfg, max_frames=n_frames, auto_grow=False)
 
-    # pre-render all frames so host rendering is outside the timed loop;
-    # uint8 like a real camera (4x less host->device traffic)
-    u8 = lambda im: np.clip(im, 0, 255).astype(np.uint8)
-    frames = []
-    for R, t in poses:
-        img, dep = scene.render(cam, R, t)
-        if sensor == "stereo":
-            # rectified right camera: displaced by the baseline along the
-            # camera x axis (t_R = t_L - [b,0,0], as in test_e2e_stereo)
-            t_r = np.asarray(t, np.float32) - np.asarray(
-                [baseline, 0, 0], np.float32)
-            img_r, _ = scene.render(cam, R, t_r)
-            frames.append((u8(img), u8(img_r)))
-        elif sensor == "rgbd":
-            frames.append((u8(img), dep.astype(np.float32)))
-        else:
-            frames.append((u8(img),))
+def dispatch_probe(n: int = 64):
+    """us/dispatch of a tiny jitted op — the poison detector.  No reads:
+    timing covers dispatch only, then one block (a wait)."""
+    import jax
+    import jax.numpy as jnp
 
-    def track(k):
-        if sensor == "stereo":
-            runner.track_stereo(frames[k][0], frames[k][1], k / 30.0)
-        elif sensor == "rgbd":
-            runner.track_rgbd(frames[k][0], frames[k][1], k / 30.0)
-        else:
-            runner.track_mono(frames[k][0], k / 30.0)
-
-    # compile + first-execute the step program, run the warmup segment
-    # (map bootstrap) and wait for it — WITHOUT reading anything
-    runner.warmup()
-    for k in range(n_warm):
-        track(k)
-    runner.block()
-
-    # timed region: dispatch the steady-state segment and wait for the
-    # device to drain.  Zero host<->device reads inside.
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    x = f(x)
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
-    for k in range(n_warm, n_frames):
-        track(k)
-    runner.block()
-    total = time.perf_counter() - t0
+    for _ in range(n):
+        x = f(x)
+    jax.block_until_ready(x)
+    return (time.perf_counter() - t0) / n * 1e6
 
-    # one-shot readback AFTER timing: validity + accuracy
-    out = runner.finish(resolve_loops=False)
-    tracked = [(k, T) for k, T in out["trajectory"] if T is not None]
-    ok = (len(tracked) > 0.7 * n_frames and out["n_keyframes"] >= 3
-          and int(out["modes"][-1]) == 2)
-    fps = n_bench / total if total > 0 else 0.0
-    if not ok:
-        fps = 0.0
 
-    est = np.stack([-T[:3, :3].T @ T[:3, 3] for _, T in tracked])
-    gt = np.stack([-poses[k][0].T @ poses[k][1] for k, _ in tracked])
-    rmse, _ = evaluation.ate_rmse(est, gt,
-                                  with_scale=(sensor == "mono"))
-    print(f"bench[{sensor}]: tracked={len(tracked)}/{n_frames} "
-          f"kfs={out['n_keyframes']} mps={out['n_mappoints']} "
-          f"ate={rmse * 100:.2f}cm total={total:.3f}s", file=sys.stderr)
-    return dict(fps=round(fps, 2), ate_cm=round(float(rmse) * 100, 2),
-                tracked=len(tracked), n_frames=n_frames,
-                n_keyframes=out["n_keyframes"])
+class SensorBench:
+    """One sensor path: prepare (render+compile+warm) / run_timed /
+    finalize (single readback) as separate phases so every timed region
+    can run before any read poisons the session."""
+
+    def __init__(self, sensor: str, n_warm: int = 16, n_bench: int = 96):
+        from orb_slam2_annotate_tpu.geometry import CameraModel
+        from orb_slam2_annotate_tpu.io import synthetic
+        from orb_slam2_annotate_tpu.pipeline import SlamConfig
+        from orb_slam2_annotate_tpu.pipeline.device_loop import FreeRunner
+
+        self.sensor = sensor
+        self.n_warm, self.n_bench = n_warm, n_bench
+        n_frames = n_warm + n_bench
+        self.n_frames = n_frames
+        baseline = 0.3
+        self.cam = CameraModel.create(
+            fx=500.0, fy=500.0, cx=320.0, cy=240.0, width=640, height=480,
+            bf=(500.0 * baseline if sensor != "mono" else 0.0))
+        scene = synthetic.PlaneScene(seed=1)
+        self.poses = synthetic.orbit_trajectory(n_frames, step=0.05)
+
+        kw = {} if sensor == "mono" else dict(sensor=sensor, th_depth=100.0)
+        # ablation knobs for tools/ab_mono_fps.py (subprocess A/B of the
+        # r4 hot-path changes; defaults match production)
+        kw["free_live_gba"] = os.environ.get(
+            "ORBTPU_BENCH_LIVE_GBA", "1") != "0"
+        kw["enable_loop_closing"] = os.environ.get(
+            "ORBTPU_BENCH_LOOP", "1") != "0"
+        cfg = SlamConfig(n_features=1024, max_kf=128, max_mp=16384,
+                         max_frames_between_kf=6, init_min_matches=60, **kw)
+        self.runner = FreeRunner(self.cam, cfg, max_frames=n_frames,
+                                 auto_grow=False)
+
+        # frames rendered up front (disk-cached), uint8 like a real camera
+        key = "PlaneScene(seed=1,tex=768)"
+        img, dep = synthetic.render_frames_cached(
+            scene, self.cam, self.poses, 480, 640, key,
+            with_depth=(sensor == "rgbd"))
+        if sensor == "stereo":
+            poses_r = [(R, np.asarray(t, np.float32)
+                        - np.asarray([baseline, 0, 0], np.float32))
+                       for R, t in self.poses]
+            img_r, _ = synthetic.render_frames_cached(
+                scene, self.cam, poses_r, 480, 640, key + "|right")
+            self.frames = [(img[k], img_r[k]) for k in range(n_frames)]
+        elif sensor == "rgbd":
+            self.frames = [(img[k], dep[k]) for k in range(n_frames)]
+        else:
+            self.frames = [(img[k],) for k in range(n_frames)]
+        self.total = None
+
+    def _track(self, k):
+        r = self.runner
+        if self.sensor == "stereo":
+            r.track_stereo(self.frames[k][0], self.frames[k][1], k / 30.0)
+        elif self.sensor == "rgbd":
+            r.track_rgbd(self.frames[k][0], self.frames[k][1], k / 30.0)
+        else:
+            r.track_mono(self.frames[k][0], k / 30.0)
+
+    def prepare(self):
+        """Compile + first-execute, then run the warmup segment (map
+        bootstrap) and drain — zero reads."""
+        self.runner.warmup()
+        for k in range(self.n_warm):
+            self._track(k)
+        self.runner.block()
+
+    def run_timed(self):
+        """Dispatch the steady-state segment and wait for the device to
+        drain.  Zero host<->device reads inside."""
+        t0 = time.perf_counter()
+        for k in range(self.n_warm, self.n_frames):
+            self._track(k)
+        self.runner.block()
+        self.total = time.perf_counter() - t0
+        return self.n_bench / self.total
+
+    def finalize(self):
+        """One-shot readback AFTER all timed regions: validity + ATE."""
+        from orb_slam2_annotate_tpu.io import evaluation
+
+        out = self.runner.finish(resolve_loops=False)
+        tracked = [(k, T) for k, T in out["trajectory"] if T is not None]
+        ok = (len(tracked) > 0.7 * self.n_frames and out["n_keyframes"] >= 3
+              and int(out["modes"][-1]) == 2)
+        fps = self.n_bench / self.total if self.total else 0.0
+        if not ok:
+            fps = 0.0
+        est = np.stack([-T[:3, :3].T @ T[:3, 3] for _, T in tracked])
+        gt = np.stack([-self.poses[k][0].T @ self.poses[k][1]
+                       for k, _ in tracked])
+        rmse, _ = evaluation.ate_rmse(est, gt,
+                                      with_scale=(self.sensor == "mono"))
+        print(f"bench[{self.sensor}]: tracked={len(tracked)}/{self.n_frames}"
+              f" kfs={out['n_keyframes']} mps={out['n_mappoints']}"
+              f" ate={rmse * 100:.2f}cm total={self.total:.3f}s",
+              file=sys.stderr)
+        return dict(fps=round(fps, 2), ate_cm=round(float(rmse) * 100, 2),
+                    tracked=len(tracked), n_frames=self.n_frames,
+                    n_keyframes=out["n_keyframes"])
+
+
+class LongBench:
+    """The 1248-frame multi-loop spiral (KITTI-00-shaped, reference
+    README.md:130) at a FIXED capacity tier sized so the zero-read
+    keyframe bound never forces mid-run growth — one compile, and the
+    whole dispatch loop stays in one program.  Capacity-growth stress
+    itself is exercised by tools/bench_long.py + the ring-stress
+    artifact (LONGRUN_r05), not inside the bench budget."""
+
+    def __init__(self, n_frames: int = 1248, block_every: int = 96):
+        from orb_slam2_annotate_tpu.geometry import CameraModel
+        from orb_slam2_annotate_tpu.io import synthetic
+        from orb_slam2_annotate_tpu.pipeline import SlamConfig
+        from orb_slam2_annotate_tpu.pipeline.device_loop import FreeRunner
+
+        self.n_frames = n_frames
+        self.block_every = block_every
+        self.cam = CameraModel.create(fx=500.0, fy=500.0, cx=320.0,
+                                      cy=240.0, width=640, height=480)
+        scene = synthetic.RoomScene(seed=2, tex_size=1536)
+        self.poses = synthetic.multi_loop_trajectory(n_frames, laps=3.1,
+                                                     r0=1.5, dr=0.35)
+        minf = 2
+        K = 128 * ((2 + n_frames // minf + 2) // 128 + 1)  # bound < K
+        cfg = SlamConfig(
+            n_features=1024, n_levels=8, max_kf=K, max_mp=K * 128,
+            max_frames_between_kf=6, min_frames_between_kf=minf,
+            init_min_matches=60, enable_loop_closing=True, seed=0)
+        self.K = K
+        self.runner = FreeRunner(self.cam, cfg, max_frames=n_frames,
+                                 auto_grow=False)
+        self.frames, _ = synthetic.render_frames_cached(
+            scene, self.cam, self.poses, 480, 640,
+            "RoomScene(seed=2,tex=1536)", verbose=True)
+        self.blocks = []
+        self.frames_done = 0
+        self.total = None
+
+    def prepare(self):
+        self.runner.warmup()
+
+    def run_timed(self, budget_s: float = 240.0):
+        """Dispatch with per-block drain timestamps; stop at the budget
+        (at a block boundary) so the readback phase is always reached."""
+        t0 = time.perf_counter()
+        t_blk = t0
+        for k in range(self.n_frames):
+            self.runner.track_mono(self.frames[k], k / 30.0)
+            if (k + 1) % self.block_every == 0 or k == self.n_frames - 1:
+                self.runner.block()
+                now = time.perf_counter()
+                nb = (k + 1) - self.frames_done
+                self.blocks.append(round(nb / (now - t_blk), 1))
+                t_blk = now
+                self.frames_done = k + 1
+                print(f"bench_long: frame {k + 1}/{self.n_frames} "
+                      f"block fps={self.blocks[-1]} K={self.K}",
+                      file=sys.stderr)
+                if now - t0 > budget_s and k + 1 < self.n_frames:
+                    print(f"bench_long: budget {budget_s}s reached at "
+                          f"frame {k + 1} — truncating", file=sys.stderr)
+                    break
+        self.total = time.perf_counter() - t0
+        return self.frames_done / self.total
+
+    def finalize(self):
+        from orb_slam2_annotate_tpu.io import evaluation
+
+        out = self.runner.finish(resolve_loops=False)
+        n = self.frames_done
+        tracked = [(k, T) for k, T in out["trajectory"][:n]
+                   if T is not None]
+        est = np.stack([-T[:3, :3].T @ T[:3, 3] for _, T in tracked])
+        gt = np.stack([-self.poses[k][0].T @ self.poses[k][1]
+                       for k, _ in tracked])
+        ate, _ = evaluation.ate_rmse(est, gt, with_scale=True)
+        m = out["map"]
+        kf_fids = np.sort(np.asarray(m.kf_frame_id)[np.asarray(m.kf_valid)])
+        thirds = [int(x) for x in np.searchsorted(
+            kf_fids, [n // 3, 2 * n // 3, n])]
+        return dict(
+            frames=n, frames_planned=self.n_frames,
+            fps=round(n / self.total, 1), block_fps=self.blocks,
+            tracked=len(tracked), ate_cm=round(float(ate) * 100, 2),
+            n_keyframes=out["n_keyframes"], n_mappoints=out["n_mappoints"],
+            n_loops=out["n_loops_closed"], n_gba=out["n_gba"],
+            n_resets=out["n_resets"],
+            n_kf_skipped_full=out["n_kf_skipped_full"],
+            kf_per_third=[thirds[0], thirds[1] - thirds[0],
+                          thirds[2] - thirds[1]],
+            closure_frames=[int(f) for f in out["closure_records"][:, 0]],
+            max_kf_tier=self.K,
+        )
 
 
 def main():
@@ -163,37 +321,109 @@ def main():
                     help="headline metric only (no depth-sensor rows, "
                          "no long run)")
     ap.add_argument("--long-frames", type=int, default=1248)
+    ap.add_argument("--long-budget", type=float, default=float(
+        os.environ.get("ORBTPU_LONG_BUDGET_S", 240.0)))
     args = ap.parse_args()
 
-    res = run_sensor_bench(args.sensor)
-    fps = res["fps"]
-    record = {
-        "metric": f"synthetic_{args.sensor}_tracking_fps",
-        "value": fps,
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }
+    import jax
+    platform = jax.devices()[0].platform
 
-    if args.sensor == "mono" and not args.skip_extras:
-        # depth-sensor variants (reference: stereo_kitti.cc timing)
-        try:
-            record["sensors"] = {
-                "stereo": run_sensor_bench("stereo"),
-                "rgbd": run_sensor_bench("rgbd"),
-            }
-        except Exception as e:  # never lose the headline metric
-            print(f"bench: sensor variants failed: {e!r}", file=sys.stderr)
-        # long-sequence stress (VERDICT r3 item 3): 1248-frame multi-loop
-        # spiral with live closures + in-program GBA + capacity growth
-        try:
-            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-            from tools.bench_long import run_long
+    if args.sensor != "mono":
+        b = SensorBench(args.sensor)
+        b.prepare()
+        fps = b.run_timed()
+        row = b.finalize()
+        _emit({"metric": f"synthetic_{args.sensor}_tracking_fps",
+               "value": row["fps"], "unit": "frames/sec/chip",
+               "vs_baseline": round(row["fps"] / BASELINE_FPS, 3),
+               args.sensor: row, "platform": platform})
+        return 0
 
-            record["long_run"] = run_long(n_frames=args.long_frames)
+    extras = not args.skip_extras
+    t_all = time.perf_counter()
+
+    # ---- prepare phase: renders, compiles, warmups (no reads) --------
+    benches = {"mono": SensorBench("mono")}
+    if extras:
+        for s in ("stereo", "rgbd"):
+            try:
+                benches[s] = SensorBench(s)
+            except Exception as e:
+                print(f"bench: {s} setup failed: {e!r}", file=sys.stderr)
+        try:
+            long_b = LongBench(n_frames=args.long_frames)
         except Exception as e:
-            print(f"bench: long run failed: {e!r}", file=sys.stderr)
+            print(f"bench: long setup failed: {e!r}", file=sys.stderr)
+            long_b = None
+    else:
+        long_b = None
+    for b in benches.values():
+        b.prepare()
+    if long_b is not None:
+        long_b.prepare()
+    prep_s = time.perf_counter() - t_all
 
-    print(json.dumps(record))
+    # ---- poison probe, then every timed region (no reads anywhere) ---
+    dispatch_us = dispatch_probe()
+    print(f"bench: dispatch probe {dispatch_us:.0f} us/dispatch "
+          f"(poisoned >= ~25000)", file=sys.stderr)
+
+    mono_fps = benches["mono"].run_timed()
+    record = {
+        "metric": "synthetic_mono_tracking_fps",
+        "value": round(mono_fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(mono_fps / BASELINE_FPS, 3),
+        "dispatch_us": round(dispatch_us, 1),
+        "platform": platform,
+        "provisional": True,  # validity/ATE pending post-timing readback
+    }
+    _emit(record)  # headline IMMEDIATELY after the mono segment
+
+    if extras:
+        fps_timed = {}
+        for s in ("stereo", "rgbd"):
+            if s in benches:
+                try:
+                    fps_timed[s] = round(benches[s].run_timed(), 2)
+                except Exception as e:
+                    print(f"bench: {s} timed failed: {e!r}", file=sys.stderr)
+        if long_b is not None:
+            try:
+                fps_timed["long"] = round(
+                    long_b.run_timed(budget_s=args.long_budget), 2)
+            except Exception as e:
+                print(f"bench: long timed failed: {e!r}", file=sys.stderr)
+                long_b = None
+        record["sensors_fps_timed"] = fps_timed
+        _emit(record)  # all timed fps known, still pre-read
+
+    # ---- single readback phase (poisons the session — nothing is
+    # timed after this point) -----------------------------------------
+    row = benches["mono"].finalize()
+    record["value"] = row["fps"]
+    record["vs_baseline"] = round(row["fps"] / BASELINE_FPS, 3)
+    record["mono"] = row
+    record.pop("provisional", None)
+    _emit(record)  # authoritative headline
+
+    if extras:
+        record["sensors"] = {}
+        for s in ("stereo", "rgbd"):
+            if s in benches:
+                try:
+                    record["sensors"][s] = benches[s].finalize()
+                except Exception as e:
+                    print(f"bench: {s} finalize failed: {e!r}",
+                          file=sys.stderr)
+        if long_b is not None:
+            try:
+                record["long_run"] = long_b.finalize()
+            except Exception as e:
+                print(f"bench: long finalize failed: {e!r}", file=sys.stderr)
+        record["wall_s"] = round(time.perf_counter() - t_all, 1)
+        record["prep_s"] = round(prep_s, 1)
+        _emit(record)  # complete artifact (last line is authoritative)
     return 0
 
 

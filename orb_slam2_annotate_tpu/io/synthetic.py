@@ -387,3 +387,68 @@ def circle_trajectory(n_frames: int, radius: float = 1.0,
         t = -R @ p
         poses.append((R, t))
     return poses
+
+
+def render_frames_cached(scene, cam: CameraModel, poses, h: int, w: int,
+                         scene_key: str, with_depth: bool = False,
+                         cache_dir: str | None = None, n_workers: int = 2,
+                         verbose: bool = False):
+    """Render a pose sequence, memoized on disk.
+
+    Rendering is host-side OpenCV warping (~0.15 s/frame at VGA) and the
+    long benchmark sequences re-render the identical deterministic scene
+    every run (r4: 180 s of a ~10-minute budget).  Frames are cached as a
+    single uint8 .npy (plus float16 depth) keyed by the scene/camera/
+    trajectory hash; a second run on the same host loads in seconds.
+
+    Returns (frames [F,h,w] uint8, depth [F,h,w] float32 | None).
+    """
+    import hashlib
+    import os
+    import sys
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    cache_dir = cache_dir or os.environ.get(
+        "ORBTPU_RENDER_CACHE", "/tmp/orbtpu_render_cache")
+    pose_bytes = np.ascontiguousarray(
+        np.stack([np.hstack([R.reshape(-1), t.reshape(-1)])
+                  for R, t in poses]).astype(np.float32)).tobytes()
+    cam_sig = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
+    key = hashlib.sha1(
+        f"{scene_key}|{cam_sig}|{h}x{w}|d{int(with_depth)}|".encode()
+        + pose_bytes).hexdigest()[:16]
+    base = os.path.join(cache_dir, key)
+    try:
+        img = np.load(base + "_img.npy")
+        dep = np.load(base + "_dep.npy").astype(np.float32) \
+            if with_depth else None
+        if img.shape == (len(poses), h, w):
+            return img, dep
+    except Exception:
+        pass
+
+    t0 = time.perf_counter()
+
+    def one(args):
+        R, t = args
+        im, dp = scene.render(cam, R, t, h=h, w=w)
+        return (np.clip(im, 0, 255).astype(np.uint8),
+                dp.astype(np.float16) if with_depth else None)
+
+    # cv2 releases the GIL inside warpPerspective; threads ~halve latency
+    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+        rendered = list(ex.map(one, poses))
+    img = np.stack([r[0] for r in rendered])
+    dep16 = np.stack([r[1] for r in rendered]) if with_depth else None
+    if verbose:
+        print(f"render_frames_cached: {len(poses)} frames in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.save(base + "_img.npy", img)
+        if with_depth:
+            np.save(base + "_dep.npy", dep16)
+    except Exception:  # cache is best-effort
+        pass
+    return img, dep16.astype(np.float32) if with_depth else None

@@ -900,6 +900,12 @@ class FreeRunner:
             self.cfg = dataclasses.replace(self.cfg, max_kf=m.K, max_mp=m.P)
             self.state = init_state(self.cfg, self._lc.cfg.n_words,
                                     self.max_frames)
+        # re-pin the P/K ratio to the (possibly larger) loaded tiers:
+        # a later auto-grow computes new_P = 2*K*ratio, and a stale
+        # construction-time ratio could shrink P below the checkpoint's,
+        # tripping grow_map's cannot-shrink assert mid-run
+        self._mp_ratio = max(self._mp_ratio,
+                             -(-self.cfg.max_mp // self.cfg.max_kf))
         bows = policy.keyframe_bows(self.vocab, m)
         self.state = self.state._replace(
             m=m, bows=bows,

@@ -399,6 +399,12 @@ def free_loop_stage(cfg: "LoopCloserConfig", cam: CameraModel, vocab,
             O3 = ms.observation_matrix(m)
             tgt_mask = jnp.zeros((K,), bool).at[fuse_targets].max(fuse_ok)
             touched = loop_pts | jnp.any(O3 & tgt_mask[:, None], axis=0)
+            # descriptor refresh caps at MAX_TOUCHED points per pass; at
+            # grown tiers the seam set can exceed it — COUNT the overflow
+            # into the closure record (slot 11) instead of silently
+            # leaving stale distinctive descriptors (ADVICE r4)
+            stats_over = jnp.maximum(
+                jnp.sum(touched.astype(jnp.int32)) - ms.MAX_TOUCHED, 0)
             m = ms.update_mappoint_stats_touched(m, touched)
             # a true ring: past capacity, the OLDEST edge is recycled
             # (dropping the newest would silently discard each fresh
@@ -417,7 +423,7 @@ def free_loop_stage(cfg: "LoopCloserConfig", cam: CameraModel, vocab,
                 r.n_inliers.astype(jnp.float32), n_proj.astype(jnp.float32),
                 r3.n_inliers.astype(jnp.float32), s12,
                 n_after.astype(jnp.float32), dropped.astype(jnp.float32),
-                jnp.asarray(0.0), jnp.asarray(0.0)])
+                jnp.asarray(0.0), stats_over.astype(jnp.float32)])
             crec = crec.at[jnp.mod(n_loops, MAX_CLOSURE_REC)].set(rec)
             return (m, bows, loop_a, loop_b, loop_ok, n_after,
                     m.n_kf, crec, jnp.asarray(True))
@@ -795,6 +801,9 @@ class LoopCloser:
         # observability: historic loop edges excluded from essential-graph
         # solves because the MAX_LOOP_EDGES ring recycled them
         self.n_loop_edges_dropped = 0
+        # seam-fusion descriptor refreshes truncated by the MAX_TOUCHED
+        # per-pass cap (counted, not silent — ADVICE r4)
+        self.n_stats_overflow = 0
         self._last_loop_kf = 0       # keyframe seq counter at last closure
         self._seq = 0
         self._gba_pending = None     # async global BA awaiting fold-back
@@ -1191,6 +1200,8 @@ class LoopCloser:
         tgt_mask = jnp.zeros((K,), bool).at[fuse_targets].max(fuse_ok)
         O3 = ms.observation_matrix(m)
         touched = loop_pts | jnp.any(O3 & tgt_mask[:, None], axis=0)
+        self.n_stats_overflow += int(max(
+            0, int(jnp.sum(touched.astype(jnp.int32))) - ms.MAX_TOUCHED))
         m = ms.update_mappoint_stats_touched(m, touched)
         if cfg.run_global_ba:
             self._dispatch_global_ba(m, anchor=cand)

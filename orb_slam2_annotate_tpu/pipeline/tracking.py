@@ -14,6 +14,7 @@ none) — the functional analog of Frame::mvpMapPoints.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -29,6 +30,15 @@ from ..worldmap.map_state import MapState, observation_matrix
 from .frame import Frame
 
 SCALE = 1.2
+
+# Hot-path ablation knobs (tools/ab_mono_fps.py measures their fps/ATE
+# cost on the real chip; defaults reflect the r5 measurement).  Module-
+# level so every call site — sync System and FreeRunner — sees one
+# configuration; env-var override enables subprocess A/B without
+# plumbing through every step-program signature.
+WIDEN_RETRY = os.environ.get("ORBTPU_WIDEN_RETRY", "1") != "0"
+MAX_LOCAL_PTS = int(os.environ.get("ORBTPU_MAX_LOCAL_PTS", "4096"))
+GAMMA_VEL = float(os.environ.get("ORBTPU_GAMMA_VEL", "1.0"))
 
 
 def _inv_sigma2(octave):
@@ -122,7 +132,8 @@ class LocalMapTrack(NamedTuple):
 
 @partial(jax.jit, static_argnums=(6, 7))
 def track_local_map(cam: CameraModel, m: MapState, frame: Frame, R, t, obs,
-                    max_local_kf: int = 32, max_local_pts: int = 4096,
+                    max_local_kf: int = 32,
+                    max_local_pts: int = MAX_LOCAL_PTS,
                     th: float = 1.0) -> LocalMapTrack:
     """SearchLocalPoints + final pose refinement (Tracking.cc:1025-1073).
 
@@ -182,10 +193,12 @@ def track_local_map(cam: CameraModel, m: MapState, frame: Frame, R, t, obs,
     # the tracker needs as the view moves into newly mapped territory
     # (measured r4 long-run: periodic tracking collapse at the fresh
     # edge of large 1024-feature maps; the reference has no cap — it
-    # searches every local-KF point, Tracking.cc:1246).
+    # searches every local-KF point, Tracking.cc:1246).  first_kf >= 0,
+    # so candidates score >= 2.0 and invalids 0.0; integers up to 2^24
+    # are exact in f32, so the recency ordering never quantizes away
+    # (a 1e-9 epsilon would vanish below the ulp at 1.0).
     cand_score = jnp.where(
-        cand_mask,
-        1.0 + m.mp_first_kf.astype(jnp.float32) * 1e-9, 0.0)
+        cand_mask, m.mp_first_kf.astype(jnp.float32) + 2.0, 0.0)
     _, cand = jax.lax.top_k(cand_score, max_local_pts)
     cvalid = cand_mask[cand]
 
@@ -340,6 +353,9 @@ def track_frame(cam: CameraModel, m: MapState, frame: Frame,
         # prediction several px off, and px-constant windows cover half
         # the physical angle at 2x the focal length — search again at
         # 2x the radius before falling back to reference-KF tracking
+        if not WIDEN_RETRY:
+            return out
+
         def retry(_):
             return track_with_motion_model(
                 cam, m, frame, last_frame, last_obs, R_pred, t_pred,
@@ -363,14 +379,15 @@ def track_frame(cam: CameraModel, m: MapState, frame: Frame,
 
     res = track_local_map(cam, m, frame, R2, t2, obs2)
 
-    # velocity = Tcw_cur * Tcw_last^-1 (Tracking.cc:446-454), damped in the
-    # tangent space.  Raw extrapolation closes a positive-feedback loop on
-    # weakly-observable pose modes (near-planar scenes): prediction carries
-    # the full error increment, matching/optimization confirm it (zero
-    # innovation along the weak mode), and the error grows ~1.6x/frame
-    # (Fibonacci).  gamma < 1 makes that loop contractive while keeping
-    # most of the motion prior.
-    GAMMA_VEL = 1.0
+    # velocity = Tcw_cur * Tcw_last^-1 (Tracking.cc:446-454), optionally
+    # damped in the tangent space (GAMMA_VEL < 1).  Raw extrapolation can
+    # close a positive-feedback loop on weakly-observable pose modes
+    # (near-planar scenes): prediction carries the full error increment,
+    # matching/optimization confirm it (zero innovation along the weak
+    # mode), and the error grows ~1.6x/frame.  Round 4 moved to 1.0
+    # because the widen-retry recovers the matches damping existed to
+    # protect (the r2 divergence predates both retry and the recency
+    # local-point cap); tools/ab_mono_fps.py A/Bs both.
     Ri, ti = lie.se3_inverse(R_last, t_last)
     vR_raw, vt_raw = lie.se3_compose(res.R, res.t, Ri, ti)
     vR, vt = lie.se3_exp(GAMMA_VEL * lie.se3_log(vR_raw, vt_raw))

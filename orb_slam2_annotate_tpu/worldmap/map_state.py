@@ -427,9 +427,12 @@ def update_mappoint_stats(m: MapState) -> MapState:
     )
 
 
+MAX_TOUCHED = 4096  # descriptor-refresh cap per pass (see below)
+
+
 @partial(jax.jit, static_argnums=(2,))
 def update_mappoint_stats_touched(m: MapState, touched: jnp.ndarray,
-                                  max_touched: int = 4096) -> MapState:
+                                  max_touched: int = MAX_TOUCHED) -> MapState:
     """Like update_mappoint_stats but restricted to a `touched` [P] mask
     (the keyframe chain only moves/re-observes the local window's points;
     recomputing all P=16k+ every keyframe is ~4x wasted work — r1 weak
