@@ -21,10 +21,17 @@ def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, x1: jnp.ndarray,
 
     P1, P2: [3,4] projection matrices (K[R|t] or normalized [R|t]).
     x1, x2: [2] pixel/normalized observations.  Returns [3] world point.
-    Same construction as reference Initializer.cc:829-851 but solved with
-    a 4x4 symmetric eigendecomposition (A^T A smallest eigenvector), which
-    batches better on TPU than direct SVD of the 4x4.
+    Same construction as reference Initializer.cc:829-851 but solved
+    INHOMOGENEOUSLY (fix X_w = 1): argmin |A[:, :3] X + A[:, 3]| via the
+    closed-form 3x3 normal equations.  The homogeneous eigh(A^T A)
+    route costs 3.7 us/point batched on TPU (lowered to an iterative
+    eigensolver; 76 ms for one keyframe's 20x1024 pair grid — measured
+    r5, the whole of create_new_mappoints' budget) vs ~0.1 us closed
+    form.  The w=1 chart only degrades for points at infinity, which the
+    callers' parallax/depth gates reject anyway.
     """
+    from .smallsolve import solve3
+
     A = jnp.stack(
         [
             x1[0] * P1[2] - P1[0],
@@ -33,11 +40,10 @@ def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, x1: jnp.ndarray,
             x2[1] * P2[2] - P2[1],
         ]
     )
-    AtA = A.T @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    X = vecs[:, 0]
-    w = jnp.where(jnp.abs(X[3]) < 1e-10, 1e-10, X[3])
-    return X[:3] / w
+    A3 = A[:, :3]
+    AtA = A3.T @ A3
+    Atb = -A3.T @ A[:, 3]
+    return solve3(AtA + 1e-12 * jnp.eye(3), Atb)
 
 
 triangulate_dlt_batch = jax.vmap(triangulate_dlt, in_axes=(None, None, 0, 0))

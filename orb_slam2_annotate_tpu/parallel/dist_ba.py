@@ -171,7 +171,8 @@ def make_distributed_ba(mesh: Mesh, axis: str = "mp", iters: int = 10,
             cost = jax.lax.psum(cost, axis)
 
             Hpp_d = ba_core._damp_blocks(Hpp, lam)
-            Hpp_inv = jnp.linalg.inv(Hpp_d + 1e-8 * jnp.eye(3))
+            from ..geometry.smallsolve import inv3
+            Hpp_inv = inv3(Hpp_d + 1e-8 * jnp.eye(3))
             BH = jnp.einsum("pcij,pjk->pcik", B, Hpp_inv)
             S_local = -jnp.einsum("pcik,pdlk->cdil", BH, B)
             rhs_local = jnp.einsum("pcik,pk->ci", BH, gp)

@@ -155,8 +155,10 @@ def init_state(cfg: SlamConfig, n_words: int, max_frames: int) -> FreeState:
     )
 
 
-def make_step(cfg: SlamConfig):
-    """Build the jitted free-running step for a fixed config.
+def make_step(cfg: SlamConfig, jit: bool = True):
+    """Build the jitted free-running step for a fixed config (jit=False
+    returns the raw traceable body — make_scan_step wraps it in a
+    lax.scan for chunked batch dispatch).
 
     Only plain-Python config scalars are captured (they become compile-
     time literals); every device value — camera, ORB tables, vocabulary,
@@ -617,7 +619,6 @@ def make_step(cfg: SlamConfig):
 
     # ---------------- the step --------------------------------------
 
-    @partial(jax.jit, donate_argnums=(3,))
     def step_mono(cam: CameraModel, tab, vocab, st: FreeState,
                   image, frame_id, ts, loc_only) -> FreeState:
         frame = _make_frame_mono(image, cam, tab, ecfg)
@@ -629,7 +630,6 @@ def make_step(cfg: SlamConfig):
             st,
         )
 
-    @partial(jax.jit, donate_argnums=(3,))
     def step_rgbd(cam: CameraModel, tab, vocab, st: FreeState,
                   image, depth, frame_id, ts, loc_only) -> FreeState:
         frame = _make_frame_rgbd(image, depth, cam, tab, ecfg)
@@ -641,7 +641,6 @@ def make_step(cfg: SlamConfig):
             st,
         )
 
-    @partial(jax.jit, donate_argnums=(3,))
     def step_stereo(cam: CameraModel, tab, vocab, st: FreeState,
                     image_l, image_r, frame_id, ts, loc_only) -> FreeState:
         frame = _make_frame_stereo(image_l, image_r, cam, tab, ecfg)
@@ -653,11 +652,38 @@ def make_step(cfg: SlamConfig):
             st,
         )
 
-    if cfg.sensor == "rgbd":
-        return step_rgbd
-    if cfg.sensor == "stereo":
-        return step_stereo
-    return step_mono
+    raw = {"rgbd": step_rgbd, "stereo": step_stereo}.get(
+        cfg.sensor, step_mono)
+    if not jit:
+        return raw
+    return partial(jax.jit, donate_argnums=(3,))(raw)
+
+
+def make_scan_step(cfg: SlamConfig, chunk: int):
+    """Batch mode: `chunk` frames per dispatch via lax.scan over the
+    SAME per-frame step body (SURVEY §7 'compiler-friendly control
+    flow').  One dispatch amortizes the host/link round-trip over the
+    whole chunk, so throughput is set by the device, not by per-frame
+    Python/RPC overhead — the TPU-native analog of the reference's
+    batch-style offline runs (and a mode the thread-per-frame reference
+    cannot express).  The images array rides in one H2D upload."""
+    raw = make_step(cfg, jit=False)
+    n_img = 2 if cfg.sensor == "stereo" else (
+        2 if cfg.sensor == "rgbd" else 1)
+
+    @partial(jax.jit, donate_argnums=(3,))
+    def scan_steps(cam, tab, vocab, st: FreeState, imgs, frame_ids, tss,
+                   loc_only) -> FreeState:
+        def body(carry, x):
+            fid, ts = x[-2], x[-1]
+            return raw(cam, tab, vocab, carry, *x[:-2], fid, ts,
+                       loc_only), None
+
+        xs = tuple(imgs) + (frame_ids, tss)
+        st2, _ = jax.lax.scan(body, st, xs, length=chunk)
+        return st2
+
+    return scan_steps
 
 
 class FreeRunner:
@@ -691,15 +717,31 @@ class FreeRunner:
         self.max_frames = max_frames
         self.auto_grow = auto_grow
         self.tab = orb.tables()
+        # map-point-axis sharding over the device mesh (SURVEY §2.3 final
+        # row): the flagship path runs the SAME step program SPMD — the
+        # [P]-axis leaves of the map split over the mesh, XLA partitions
+        # the [K,P]/[P,N] matmuls + gathers and inserts the collectives.
+        # Donation preserves the placement across steps, so the host
+        # only places state at construction/growth/load.
+        self._mesh = None
+        if self.cfg.shard_points:
+            import jax as _jax
+
+            if len(_jax.devices()) > 1:
+                from ..parallel.mesh import map_mesh
+
+                self._mesh = map_mesh()
         # vocabulary via LoopCloser's loader (trained npz if present)
         self._lc = LoopCloser(
             cam, self.cfg.max_kf,
             LoopCloserConfig(fix_scale=self.cfg.sensor != "mono"),
             seed=self.cfg.seed + 1)
         self.vocab = self._lc.vocab
-        self.state = init_state(self.cfg, self._lc.cfg.n_words, max_frames)
+        self.state = self._place(
+            init_state(self.cfg, self._lc.cfg.n_words, max_frames))
         self._step = make_step(self.cfg)
         self.frame_id = -1
+        self._scan_cache: dict = {}
         self._timestamps: list[float] = []
         self._finished = None
         self._loc_only = False
@@ -708,6 +750,26 @@ class FreeRunner:
         # prewarm_tiers produce identical shape tiers
         self._mp_ratio = max(1, self.cfg.max_mp // self.cfg.max_kf)
         self.growth_events: list[tuple] = []  # (frame_id, K, P, max_frames)
+
+    def _place(self, st: FreeState) -> FreeState:
+        """Apply the mesh sharding to a FreeState: map-point-axis leaves
+        split over the mesh, everything else replicated (the free-path
+        analog of System._place_map)."""
+        if self._mesh is None:
+            return st
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.mesh import shard_map_state
+
+        # remaining leaves (rings, frames, scalars) replicate explicitly
+        # so the step program sees fully-specified input shardings
+        rep = NamedSharding(self._mesh, PartitionSpec())
+        rest = {
+            f: jax.tree.map(lambda x: jax.device_put(x, rep),
+                            getattr(st, f))
+            for f in st._fields if f != "m"
+        }
+        return FreeState(m=shard_map_state(st.m, self._mesh), **rest)
 
     # -- mode control (System.cc:229-251) ------------------------------
 
@@ -758,30 +820,32 @@ class FreeRunner:
                 ring_nlocal=padf(st.ring_nlocal),
                 ring_loop=padf(st.ring_loop))
             self.max_frames = new_max_frames
-        self.state = st
+        self.state = self._place(st)
         self.growth_events.append(
             (self.frame_id, self.cfg.max_kf, self.cfg.max_mp,
              self.max_frames))
 
-    def _maybe_grow(self):
+    def _maybe_grow(self, up_to: int | None = None):
         """Zero-read growth policy.  Keyframe insertions are bounded by
         2 (bootstrap) + frames/min_frames_between_kf, so growing when
         that bound reaches capacity guarantees the device-side free_slot
         gate never silently drops a wanted keyframe; the map-point tier
         grows proportionally (its configured P/K ratio is preserved).
-        Rings double when the frame counter reaches them."""
+        Rings double when the frame counter reaches them.  `up_to`
+        (batch mode) sizes for the LAST frame of a chunk before it is
+        dispatched."""
+        fid = self.frame_id if up_to is None else up_to
         if not self.auto_grow:
-            if self.frame_id >= self.max_frames:
+            if fid >= self.max_frames:
                 raise RuntimeError(
                     f"FreeRunner ring capacity exceeded: frame "
-                    f"{self.frame_id} >= max_frames={self.max_frames} "
+                    f"{fid} >= max_frames={self.max_frames} "
                     "(auto_grow=False; construct with larger max_frames)")
             return
-        if self.frame_id >= self.max_frames:
+        while fid >= self.max_frames:
             self.grow(new_max_frames=2 * self.max_frames)
         minf = max(self.cfg.min_frames_between_kf, 1)
-        kf_bound = 2 + (self.frame_id - self._grow_base) // minf
-        if kf_bound >= self.cfg.max_kf:
+        while 2 + (fid - self._grow_base) // minf >= self.cfg.max_kf:
             new_K = 2 * self.cfg.max_kf
             self.grow(new_max_kf=new_K, new_max_mp=new_K * self._mp_ratio)
 
@@ -815,7 +879,8 @@ class FreeRunner:
         for K in tiers:
             cfgK = dataclasses.replace(
                 self.cfg, max_kf=K, max_mp=K * self._mp_ratio)
-            st = init_state(cfgK, self._lc.cfg.n_words, self.max_frames)
+            st = self._place(
+                init_state(cfgK, self._lc.cfg.n_words, self.max_frames))
             for fid in (0, 1):
                 if self.cfg.sensor == "rgbd":
                     dep = jnp.ones((h, w), jnp.float32)
@@ -868,6 +933,88 @@ class FreeRunner:
             jnp.asarray(self.frame_id, jnp.int32), jnp.asarray(timestamp),
             jnp.asarray(self._loc_only))
 
+    # -- batch mode: chunked lax.scan dispatch ------------------------
+
+    def _scan_fn(self, chunk: int):
+        key = (self.cfg.sensor, chunk, self.cfg.max_kf, self.cfg.max_mp,
+               self.cfg.n_features)
+        fn = self._scan_cache.get(key)
+        if fn is None:
+            fn = make_scan_step(self.cfg, chunk)
+            self._scan_cache[key] = fn
+        return fn
+
+    def _track_sequence(self, img_arrays, timestamps, chunk: int,
+                        per_frame):
+        """Shared chunked-scan driver: full chunks go through ONE
+        dispatch each (make_scan_step); the tail runs per-frame."""
+        F = img_arrays[0].shape[0]
+        if timestamps is None:
+            timestamps = [(self.frame_id + 1 + i) / 30.0 for i in range(F)]
+        done = 0
+        while F - done >= chunk:
+            end_id = self.frame_id + chunk
+            self._maybe_grow(up_to=end_id)
+            fn = self._scan_fn(chunk)
+            fids = jnp.arange(self.frame_id + 1, self.frame_id + 1 + chunk,
+                              dtype=jnp.int32)
+            tss = jnp.asarray(np.asarray(
+                timestamps[done:done + chunk], np.float32))
+            imgs = tuple(jnp.asarray(a[done:done + chunk])
+                         for a in img_arrays)
+            self.state = fn(self.cam, self.tab, self.vocab, self.state,
+                            imgs, fids, tss, jnp.asarray(self._loc_only))
+            self.frame_id += chunk
+            self._timestamps.extend(timestamps[done:done + chunk])
+            done += chunk
+        for i in range(done, F):
+            per_frame(i, timestamps[i])
+
+    def track_mono_sequence(self, images, timestamps=None, chunk: int = 48):
+        """Batch mode: dispatch `chunk` frames per device call (the
+        per-frame step body under lax.scan).  One H2D upload + one
+        dispatch per chunk removes the per-frame host/RPC overhead that
+        bounds the streaming API on a remote link — the TPU-native
+        offline/mapping mode (no reference analog; its per-frame thread
+        handoff cannot batch, System.cc:219)."""
+        imgs = np.asarray(images)
+        self._track_sequence(
+            (imgs,), timestamps, chunk,
+            lambda i, ts: self.track_mono(imgs[i], ts))
+
+    def track_rgbd_sequence(self, images, depths, timestamps=None,
+                            chunk: int = 48):
+        imgs, deps = np.asarray(images), np.asarray(depths, np.float32)
+        self._track_sequence(
+            (imgs, deps), timestamps, chunk,
+            lambda i, ts: self.track_rgbd(imgs[i], deps[i], ts))
+
+    def track_stereo_sequence(self, images_l, images_r, timestamps=None,
+                              chunk: int = 48):
+        il, ir = np.asarray(images_l), np.asarray(images_r)
+        self._track_sequence(
+            (il, ir), timestamps, chunk,
+            lambda i, ts: self.track_stereo(il[i], ir[i], ts))
+
+    def warmup_sequence(self, chunk: int = 48, image_shape=None):
+        """Compile + first-execute the chunked scan program on
+        throwaway state (same role as warmup())."""
+        h, w = image_shape or (int(self.cam.height), int(self.cam.width))
+        fn = self._scan_fn(chunk)
+        st = self._place(
+            init_state(self.cfg, self._lc.cfg.n_words, self.max_frames))
+        fids = jnp.arange(chunk, dtype=jnp.int32)
+        tss = jnp.zeros((chunk,), jnp.float32)
+        imgs = (jnp.zeros((chunk, h, w), jnp.uint8),)
+        if self.cfg.sensor == "rgbd":
+            imgs = imgs + (jnp.ones((chunk, h, w), jnp.float32),)
+        elif self.cfg.sensor == "stereo":
+            imgs = imgs + (jnp.zeros((chunk, h, w), jnp.uint8),)
+        st = fn(self.cam, self.tab, self.vocab, st, imgs, fids, tss,
+                jnp.asarray(False))
+        jax.block_until_ready(st.mode)
+        del st
+
     # -- checkpoint / resume (System.h:115-117 SaveMap/LoadMap TODO) ---
 
     def save_map(self, path: str):
@@ -907,17 +1054,18 @@ class FreeRunner:
         self._mp_ratio = max(self._mp_ratio,
                              -(-self.cfg.max_mp // self.cfg.max_kf))
         bows = policy.keyframe_bows(self.vocab, m)
-        self.state = self.state._replace(
+        self.state = self._place(self.state._replace(
             m=m, bows=bows,
             mode=jnp.asarray(MODE_LOST, jnp.int32),
-        )
+        ))
 
     def warmup(self, image_shape=None):
         """Compile + first-execute the step program on throwaway state
         (axon pays a one-time executable-load at first execution)."""
         h, w = image_shape or (int(self.cam.height), int(self.cam.width))
         img = jnp.zeros((h, w), jnp.uint8)
-        st = init_state(self.cfg, self._lc.cfg.n_words, self.max_frames)
+        st = self._place(
+            init_state(self.cfg, self._lc.cfg.n_words, self.max_frames))
         loc = jnp.asarray(False)
         for fid in (0, 1):  # cover both cond arms' executions
             if self.cfg.sensor == "rgbd":

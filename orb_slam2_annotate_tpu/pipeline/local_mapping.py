@@ -18,6 +18,7 @@ Stages and their reference counterparts:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -35,6 +36,15 @@ from .frame import Frame
 
 SCALE = 1.2
 N_LEVELS = 8
+
+# LBA schedule (robust iters, post-outlier-mask iters): each iteration
+# linearizes once and tries a 3-value damping ladder (ba_core).  Env
+# knob for the fps/ATE A/B (tools/ab_mono_fps.py); measured r5: the LM
+# iteration is ~8.5 ms at the VGA/1024f tier, so the schedule IS the
+# keyframe-chain budget.
+_LBA = os.environ.get("ORBTPU_LBA_ITERS", "4,6").split(",")
+LBA_ITERS_ROBUST = int(_LBA[0])
+LBA_ITERS_FINAL = int(_LBA[1])
 
 
 def _inv_sigma2(octave):
@@ -604,13 +614,15 @@ def local_bundle_adjustment(m: ms.MapState, cam: CameraModel, slot,
         inv_sigma2=_inv_sigma2(octv), edge_valid=e_valid,
     )
     # robust iters, outlier re-mask, more iters (the reference's 5-then-10
-    # schedule, Optimizer.cc:668-704 — here 5+8: each of our iterations
-    # retries 3 damping values per linearization, so 13 linearizations
+    # schedule, Optimizer.cc:668-704 — here 4+6: each of our iterations
+    # retries 3 damping values per linearization, so 10 linearizations
     # make at least as much progress as g2o's 15 solver iterations, and
     # local BA is the throughput ceiling of the whole keyframe chain)
-    R1, t1, X1, inl1, _ = ba_core.bundle_adjust_grid(cam, prob, iters=5, robust=True)
+    R1, t1, X1, inl1, _ = ba_core.bundle_adjust_grid(
+        cam, prob, iters=LBA_ITERS_ROBUST, robust=True)
     prob2 = prob._replace(R=R1, t=t1, points=X1, edge_valid=e_valid & inl1)
-    R2, t2, X2, inl2, cost = ba_core.bundle_adjust_grid(cam, prob2, iters=8, robust=True)
+    R2, t2, X2, inl2, cost = ba_core.bundle_adjust_grid(
+        cam, prob2, iters=LBA_ITERS_FINAL, robust=True)
     ev = e_valid.reshape(-1)
     inl2 = inl2.reshape(-1)
 

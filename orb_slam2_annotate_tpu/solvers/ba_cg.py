@@ -77,7 +77,9 @@ def bundle_adjust_cg(cam, prob: BAProblem, iters: int = 10,
 
         Hcc_d = _damp_blocks(Hcc, lam)
         Hpp_d = _damp_blocks(Hpp, lam)
-        Hpp_inv = jnp.linalg.inv(Hpp_d + 1e-8 * jnp.eye(3))
+        # closed-form adjugate: batched LU lowering costs us/instance
+        from ..geometry.smallsolve import inv3
+        Hpp_inv = inv3(Hpp_d + 1e-8 * jnp.eye(3))
         Mc_inv = jnp.linalg.inv(Hcc_d + 1e-6 * jnp.eye(6))  # preconditioner
 
         def Bt_x(x):

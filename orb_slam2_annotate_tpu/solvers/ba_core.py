@@ -517,23 +517,29 @@ def bundle_adjust_grid(cam: CameraModel, g: GridBA, iters: int = 10,
             jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)), 1.0)
         live = base_valid & depth_ok
         w = g.inv_sigma2 * w_huber * live                # [C,N]
+        # sqrt-weight trick: fold sqrt(w) into J and r once so every
+        # normal-equation product uses the SAME tensors — one fewer
+        # [3,*,C,N]-sized gather per iteration than the weighted/
+        # unweighted-pair formulation (the gathers dominate the
+        # iteration cost on TPU, measured r5)
+        sw = jnp.sqrt(w)[None, None]                     # [1,1,C,N]
         Jc = jnp.where(g.cam_fixed[None, None, :, None], 0.0, Jc)
-        Jcw = Jc * w[None, None]
-        Jpw = Jp * w[None, None]
+        Jcw = Jc * sw
+        Jpw = Jp * sw
+        rw = r * sw[0]
 
         # camera-side: contract pixel-row + feature axes
-        Hcc = jnp.einsum("ricn,rjcn->cij", Jcw, Jc)      # [C,6,6]
-        gc = jnp.einsum("ricn,rcn->ci", Jcw, r)          # [C,6]
+        Hcc = jnp.einsum("ricn,rjcn->cij", Jcw, Jcw)     # [C,6,6]
+        gc = jnp.einsum("ricn,rcn->ci", Jcw, rw)         # [C,6]
 
         # point-side: gather each point's (<=1 per camera) observation
-        Jp_pc = take(Jpw)                                # [3,3,C,P] weighted
-        Jp0_pc = take(Jp)                                # unweighted
+        Jp_pc = take(Jpw)                                # [3,3,C,P]
         Jcw_pc = take(Jcw)                               # [3,6,C,P]
-        r_pc = take(r)                                   # [3,C,P]
+        r_pc = take(rw)                                  # [3,C,P]
 
-        Hpp = jnp.einsum("rjcp,rkcp->jkp", Jp_pc, Jp0_pc)   # [3,3,P]
+        Hpp = jnp.einsum("rjcp,rkcp->jkp", Jp_pc, Jp_pc)    # [3,3,P]
         gp = jnp.einsum("rjcp,rcp->jp", Jp_pc, r_pc)         # [3,P]
-        B = jnp.einsum("ricp,rkcp->ikcp", Jcw_pc, Jp0_pc)    # [6,3,C,P]
+        B = jnp.einsum("ricp,rkcp->ikcp", Jcw_pc, Jp_pc)     # [6,3,C,P]
 
         hub = jnp.where(
             chi2 > delta2,

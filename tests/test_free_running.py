@@ -206,3 +206,41 @@ def test_free_running_live_loop_closure():
     rmse, _ = evaluation.ate_rmse(np.stack(est), np.stack(gt),
                                   with_scale=True)
     assert rmse < 0.25, f"post-closure ATE {rmse:.3f} m"
+
+
+@pytest.mark.slow
+def test_scan_batch_mode_matches_per_frame():
+    """track_mono_sequence (chunked lax.scan batch dispatch) runs the
+    SAME per-frame step body; the trajectory must agree with the
+    streaming API on identical frames (tail shorter than a chunk runs
+    per-frame)."""
+    cam = CameraModel.create(fx=250.0, fy=250.0, cx=160.0, cy=120.0,
+                             width=320, height=240)
+    scene = synthetic.PlaneScene(seed=1)
+    n = 28
+    poses = synthetic.orbit_trajectory(n, step=0.05)
+    frames = np.stack([np.clip(scene.render(cam, R, t, h=240, w=320)[0],
+                               0, 255).astype(np.uint8) for R, t in poses])
+    cfg = SlamConfig(n_features=512, n_levels=4, max_kf=32, max_mp=8192,
+                     max_frames_between_kf=6, init_min_matches=60,
+                     enable_loop_closing=False)
+
+    def ate(out):
+        tr = [(k, T) for k, T in out["trajectory"] if T is not None]
+        est = np.stack([-T[:3, :3].T @ T[:3, 3] for _, T in tr])
+        gt = np.stack([-poses[k][0].T @ poses[k][1] for k, _ in tr])
+        return len(tr), evaluation.ate_rmse(est, gt, with_scale=True)[0]
+
+    r1 = FreeRunner(cam, cfg, max_frames=n, auto_grow=False)
+    for k in range(n):
+        r1.track_mono(frames[k], k / 30.0)
+    n1, a1 = ate(r1.finish())
+
+    r2 = FreeRunner(cam, cfg, max_frames=n, auto_grow=False)
+    r2.track_mono_sequence(frames, chunk=8)  # 3 chunks + 4-frame tail
+    n2, a2 = ate(r2.finish())
+
+    assert n1 >= 16
+    assert abs(n2 - n1) <= 2, f"scan tracked {n2} vs per-frame {n1}"
+    assert abs(a2 - a1) < max(0.5 * a1, 0.01), \
+        f"scan ATE {a2:.4f} vs per-frame {a1:.4f}"
