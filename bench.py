@@ -8,28 +8,32 @@ sequence.  The reference baseline is the i7 real-time claim of 30 fps on
 TUM-class sequences (reference README.md:65, Camera.fps in
 Examples/Monocular/TUM1.yaml).
 
-Round-5 harness (VERDICT r4 item 1 — the r4 artifact was rc=124 with no
-JSON, and its stereo/rgbd/long numbers were measured after a D2H read
-had already poisoned the session):
+Round-5 harness — HONEST timing (supersedes the r3/r4 artifacts, whose
+fps timed dispatch-only regions against a lying block, see below):
 
-* ALL timed regions run before ANY device->host read.  The axon
-  remote-TPU runtime permanently degrades a session to a ~25 ms
-  dispatch floor after the first D2H transfer (RESULTS.md); blocking
-  (`block_until_ready`) is a wait, not a read, and does not poison.
-  Order: prepare everything (render + compile + warmup) -> timed mono ->
-  timed stereo -> timed rgbd -> timed long run -> one-shot readbacks.
-* A dispatch-latency probe runs right before the timed phase and its
-  us/dispatch is recorded in the artifact — proof the session was
-  unpoisoned where it matters (~1e2 us clean vs ~2.5e4 us poisoned).
+* Measured axon-runtime semantics (r5 re-characterization, RESULTS.md):
+  in a session that has never done a device->host read,
+  `block_until_ready` returns immediately WITHOUT waiting — r3/r4
+  "timed regions" measured host dispatch rate, not execution.  After
+  one tiny read, dispatch stays asynchronous, block truly waits, and
+  execution runs at full device speed; each further read costs one
+  ~25 ms link round trip.
+* This harness therefore SANITIZES the session with one tiny read
+  before any timing, then times dispatch+block regions (now truthful,
+  verified by the probes below), with zero reads inside timed loops.
+* Probes recorded in the artifact: us/dispatch of a tiny op chain
+  (dispatch+truthful block) and the read round-trip (ms) — evidence
+  the session was in the sane regime when timed.
 * The headline JSON line prints IMMEDIATELY after the mono timed
-  segment (fps is pure host clocks; validity/ATE need reads and are
-  appended later).  Progressively richer record lines follow; the LAST
-  line is authoritative.  A timeout at any point leaves a valid line.
+  segment; progressively richer record lines follow; the LAST line is
+  authoritative.  A timeout at any point leaves a valid line.
 * The long run's frame rendering is disk-cached
-  (synthetic.render_frames_cached — r4 spent 180 s re-rendering the
-  identical deterministic scene inside the budget) and its dispatch
-  loop stops at a wall-clock budget, at a block boundary, so the
-  readback phase is always reached.
+  (synthetic.render_frames_cached) and its dispatch loop stops at a
+  wall-clock budget, at a block boundary, so the readback phase is
+  always reached.
+* Segments per sensor: A = streaming (per-frame H2D upload + dispatch),
+  B = pre-uploaded streaming (dispatch-only loop), C (mono) = chunked
+  lax.scan batch mode (one dispatch per 48 frames).
 
 Prints JSON lines of the form
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
@@ -96,9 +100,21 @@ def _emit(record):
     print(json.dumps(record), flush=True)
 
 
+def sanitize_session():
+    """One tiny read: flips the runtime into truthful-blocking mode
+    (module docstring of pipeline/device_loop.py).  Returns the read
+    round-trip in ms."""
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    float(jnp.zeros(()) + 1)
+    return (time.perf_counter() - t0) * 1e3
+
+
 def dispatch_probe(n: int = 64):
-    """us/dispatch of a tiny jitted op — the poison detector.  No reads:
-    timing covers dispatch only, then one block (a wait)."""
+    """us/call of a tiny jitted op chain, dispatch + (truthful) block —
+    sanity evidence that per-dispatch overhead is micro- not
+    milliseconds in the timed regime."""
     import jax
     import jax.numpy as jnp
 
@@ -224,7 +240,7 @@ class SensorBench:
 
         start = self.n_warm + self.n_bench
         dev = [tuple(jnp.asarray(np.asarray(f)) for f in self.frames[k])
-               for k in range(start, self.n_frames)]
+               for k in range(start, start + self.n_bench2)]
         self.runner.block()
         t0 = time.perf_counter()
         for k, fr in enumerate(dev):
@@ -398,6 +414,7 @@ def main():
 
     import jax
     platform = jax.devices()[0].platform
+    read_rtt_ms = sanitize_session()  # truthful blocking from here on
 
     if args.sensor != "mono":
         b = SensorBench(args.sensor)
@@ -414,93 +431,52 @@ def main():
     extras = not args.skip_extras
     t_all = time.perf_counter()
 
-    # ---- prepare phase: renders, compiles, warmups (no reads) --------
-    benches = {"mono": SensorBench("mono")}
-    if extras:
-        for s in ("stereo", "rgbd"):
-            try:
-                benches[s] = SensorBench(s)
-            except Exception as e:
-                print(f"bench: {s} setup failed: {e!r}", file=sys.stderr)
-        try:
-            long_b = LongBench(n_frames=args.long_frames)
-        except Exception as e:
-            print(f"bench: long setup failed: {e!r}", file=sys.stderr)
-            long_b = None
-    else:
-        long_b = None
-    for b in benches.values():
-        b.prepare()
-    if long_b is not None:
-        long_b.prepare()
-    prep_s = time.perf_counter() - t_all
-
-    # ---- poison probe, then every timed region (no reads anywhere) ---
+    # ---- probes --------------------------------------------------------
     dispatch_us = dispatch_probe()
-    print(f"bench: dispatch probe {dispatch_us:.0f} us/dispatch "
-          f"(poisoned >= ~25000)", file=sys.stderr)
+    print(f"bench: dispatch probe {dispatch_us:.0f} us/dispatch, "
+          f"read RTT {read_rtt_ms:.1f} ms", file=sys.stderr)
 
-    mono_fps = benches["mono"].run_timed()
-    mono_fps2 = benches["mono"].run_timed_preuploaded()
-    mono_fps3 = benches["mono"].run_timed_scan()
+    # ---- mono: prepare -> timed A/B/C -> one readback -> HEADLINE ------
+    mono = SensorBench("mono")
+    mono.prepare()
+    mono_fps = mono.run_timed()
+    mono_fps2 = mono.run_timed_preuploaded()
+    mono_fps3 = mono.run_timed_scan()
+    row = mono.finalize()
     record = {
         "metric": "synthetic_mono_tracking_fps",
-        "value": round(mono_fps, 2),
+        "value": row["fps"],
         "unit": "frames/sec/chip",
-        "vs_baseline": round(mono_fps / BASELINE_FPS, 3),
+        "vs_baseline": round(row["fps"] / BASELINE_FPS, 3),
         "dispatch_us": round(dispatch_us, 1),
+        "read_rtt_ms": round(read_rtt_ms, 1),
+        "timing": "dispatch+block, session sanitized (truthful block)",
         "platform": platform,
-        "fps_preuploaded": round(mono_fps2, 2),
-        "fps_scan": round(mono_fps3, 2),
-        "provisional": True,  # validity/ATE pending post-timing readback
+        "mono": row,
     }
-    _emit(record)  # headline IMMEDIATELY after the mono segment
-
-    if extras:
-        fps_timed = {}
-        for s in ("stereo", "rgbd"):
-            if s in benches:
-                try:
-                    fps_timed[s] = round(benches[s].run_timed(), 2)
-                    fps_timed[s + "_preup"] = round(
-                        benches[s].run_timed_preuploaded(), 2)
-                except Exception as e:
-                    print(f"bench: {s} timed failed: {e!r}", file=sys.stderr)
-        if long_b is not None:
-            try:
-                fps_timed["long"] = round(
-                    long_b.run_timed(budget_s=args.long_budget), 2)
-            except Exception as e:
-                print(f"bench: long timed failed: {e!r}", file=sys.stderr)
-                long_b = None
-        record["sensors_fps_timed"] = fps_timed
-        _emit(record)  # all timed fps known, still pre-read
-
-    # ---- single readback phase (poisons the session — nothing is
-    # timed after this point) -----------------------------------------
-    row = benches["mono"].finalize()
-    record["value"] = row["fps"]
-    record["vs_baseline"] = round(row["fps"] / BASELINE_FPS, 3)
-    record["mono"] = row
-    record.pop("provisional", None)
-    _emit(record)  # authoritative headline
+    _emit(record)  # headline immediately after the mono segment
 
     if extras:
         record["sensors"] = {}
-        for s in ("stereo", "rgbd"):
-            if s in benches:
-                try:
-                    record["sensors"][s] = benches[s].finalize()
-                except Exception as e:
-                    print(f"bench: {s} finalize failed: {e!r}",
-                          file=sys.stderr)
-        if long_b is not None:
+        for sname in ("stereo", "rgbd"):
             try:
-                record["long_run"] = long_b.finalize()
+                b = SensorBench(sname)
+                b.prepare()
+                b.run_timed()
+                b.run_timed_preuploaded()
+                record["sensors"][sname] = b.finalize()
+                del b
             except Exception as e:
-                print(f"bench: long finalize failed: {e!r}", file=sys.stderr)
+                print(f"bench: {sname} failed: {e!r}", file=sys.stderr)
+            _emit(record)
+        try:
+            long_b = LongBench(n_frames=args.long_frames)
+            long_b.prepare()
+            long_b.run_timed(budget_s=args.long_budget)
+            record["long_run"] = long_b.finalize()
+        except Exception as e:
+            print(f"bench: long run failed: {e!r}", file=sys.stderr)
         record["wall_s"] = round(time.perf_counter() - t_all, 1)
-        record["prep_s"] = round(prep_s, 1)
         _emit(record)  # complete artifact (last line is authoritative)
     return 0
 

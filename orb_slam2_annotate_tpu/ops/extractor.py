@@ -52,8 +52,7 @@ class Features(NamedTuple):
         return self.xy.shape[0]
 
 
-def _extract_level(img, budget, cfg: ExtractorConfig, level: int,
-                   tab: orb.OrbTables):
+def _select_level(img, budget, cfg: ExtractorConfig, level: int):
     # pure XLA on purpose: the r3 Pallas experiments measured the fused
     # XLA FAST score at 25 us for VGA on v5e — a hand-tiled kernel could
     # not beat it (and the Pallas lowering rejects the ragged pyramid
@@ -70,11 +69,8 @@ def _extract_level(img, budget, cfg: ExtractorConfig, level: int,
     score = jnp.where(ok, score, 0.0)
 
     xy, resp, valid = select.select_keypoints(score, is_hi, budget)
-    angles = orb.ic_angles(img, xy, valid, tab)
-    blurred = pyramid.gaussian_blur(img)
-    desc = orb.brief_descriptors(blurred, xy, angles, valid, tab)
     octave = jnp.full((budget,), level, jnp.int32)
-    return xy, resp, octave, angles, desc, valid
+    return xy, resp, octave, valid
 
 
 def extract(image: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig(),
@@ -109,14 +105,36 @@ def _extract_jit(image: jnp.ndarray, tab: orb.OrbTables,
     budgets = pyramid.features_per_level(cfg.n_features, cfg.n_levels, cfg.scale)
     scales = [cfg.scale**l for l in range(cfg.n_levels)]
 
+    # per-level corner detection + selection (dense stencils, cheap)
     parts = []
     for l, (img, budget) in enumerate(zip(levels, budgets)):
-        xy, resp, octv, ang, desc, valid = _extract_level(img, budget, cfg, l, tab)
-        xy = xy * scales[l]  # rescale to level-0 coords (ORBextractor.cc:1186-1195)
-        parts.append((xy, resp, octv, ang, desc, valid))
-
+        parts.append(_select_level(img, budget, cfg, l))
     cat = lambda i: jnp.concatenate([p[i] for p in parts], axis=0)
-    feats = Features(cat(0), cat(1), cat(2), cat(3), cat(4), cat(5))
+    xy_l = cat(0)           # LEVEL coordinates (orientation/descriptor)
+    resp, octv, valid = cat(1), cat(2), cat(3)
+
+    # orientation + descriptors for ALL levels at once: prefetch one
+    # [N, 31, 31] patch per keypoint from a padded 3-D pyramid (row-
+    # contiguous slices), then IC / steered-BRIEF read only patches —
+    # the per-level vmapped batches this replaces cost ~9 of the
+    # extractor's 10.4 ms at VGA/8L (measured r5)
+    H0, W0 = levels[0].shape
+    level_hw = tuple(img.shape for img in levels)
+    pad3 = lambda ims: jnp.stack(
+        [jnp.pad(im, ((0, H0 - im.shape[0]), (0, W0 - im.shape[1])))
+         for im in ims])
+    pyr3 = pad3(levels)
+    pyr3_blur = pad3([pyramid.gaussian_blur(img) for img in levels])
+    patches = orb.keypoint_patches(pyr3, xy_l, octv, level_hw)
+    patches_b = orb.keypoint_patches(pyr3_blur, xy_l, octv, level_hw,
+                                     half=orb.BRIEF_HALF)
+    ang = orb.ic_angles_patches(patches, valid, tab)
+    desc = orb.brief_descriptors_patches(patches_b, ang, valid, tab)
+
+    # rescale to level-0 coords (ORBextractor.cc:1186-1195)
+    scale_per = jnp.asarray(scales, jnp.float32)[octv]
+    feats = Features(xy_l * scale_per[:, None], resp, octv, ang, desc,
+                     valid)
     # pad to exactly n_features if the per-level budgets rounded short
     n = feats.xy.shape[0]
     if n < cfg.n_features:

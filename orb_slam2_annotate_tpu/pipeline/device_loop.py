@@ -1,15 +1,28 @@
 """Free-running SLAM: the ENTIRE per-frame state machine as one device
-program, with ZERO device->host reads for the lifetime of a sequence.
+program, with ZERO device->host reads inside the frame loop.
 
-Why this exists — the axon remote-TPU runtime runs a record-replay
-speculator: as long as the host only *dispatches* (and uploads H2D),
-each jitted call costs ~50 us.  The FIRST device->host transfer of any
-kind (np.asarray, float(), device_get, even an async copy_to_host)
-permanently degrades the session to a ~25 ms-per-dispatch floor
-(measured, tools/exp_* + round-3 characterization).  The r2 pipeline
-read a small stats bundle every frame, so the whole run sat on that
-floor (~28 fps).  The fix is architectural: keep EVERY per-frame
-decision on device —
+Why this exists — measured behavior of the axon remote-TPU runtime
+(re-characterized round 5, superseding the r3 "poison" model):
+
+* Every device->host READ costs a full link round trip (~25 ms).  The
+  r2 pipeline read a small stats bundle every frame, so it was bound at
+  ~28 fps regardless of device speed.  Keeping the per-frame decisions
+  on device removes that per-frame RTT — that part of the r3 design
+  stands.
+* In a session that has never performed a read, dispatches are
+  buffered, `block_until_ready` returns IMMEDIATELY without waiting
+  (it lies), and the queue drains only at the first read — with heavy
+  per-dispatch replay overhead.  After ONE tiny read, the session
+  behaves normally: dispatch stays asynchronous and cheap, block
+  truly waits, execution runs at full device speed.  (The r3/r4
+  fps numbers timed dispatch-only regions in never-read sessions
+  against a lying block; they measured host dispatch rate, not
+  execution.)  warmup() therefore ends with one tiny read: it both
+  forces the warmup execution to really happen and flips the session
+  into truthful-blocking mode, so steady-state timing with block() is
+  honest.
+
+The architecture keeps EVERY per-frame decision on device —
 
   * the tracking state machine (init -> OK -> LOST -> reloc) is a
     device scalar, branched with lax.cond,
@@ -20,7 +33,7 @@ decision on device —
   * keyframe culling's record re-referencing (System.cc:366-371) is a
     masked rewrite of that ring inside the same program,
 
-and the host reads results exactly ONCE, after the last frame
+and the host reads results once, after the last frame
 (`FreeRunner.finish()`).  Loop closing runs LIVE on device too
 (loop_closing.free_loop_stage: detection, consistency streaks, the
 full ComputeSim3 funnel, drift gate, essential-graph correction and
@@ -1013,6 +1026,7 @@ class FreeRunner:
         st = fn(self.cam, self.tab, self.vocab, st, imgs, fids, tss,
                 jnp.asarray(False))
         jax.block_until_ready(st.mode)
+        jax.device_get(st.mode)  # real execution + truthful blocking
         del st
 
     # -- checkpoint / resume (System.h:115-117 SaveMap/LoadMap TODO) ---
@@ -1082,6 +1096,10 @@ class FreeRunner:
                                 jnp.asarray(fid, jnp.int32),
                                 jnp.asarray(0.0), loc)
         jax.block_until_ready(st.mode)
+        # one tiny read of the THROWAWAY state: forces the warmup
+        # execution to actually run and flips the session into
+        # truthful-blocking mode (module docstring: timing truth)
+        jax.device_get(st.mode)
 
     def block(self):
         """Wait for all dispatched work WITHOUT reading anything."""

@@ -1,5 +1,40 @@
 #!/bin/bash
-# Run the test suite on CPU, bypassing axon TPU registration (which can
-# block interpreter startup when the TPU grant is wedged — see
-# .claude/skills/verify/SKILL.md).
-exec env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m pytest "${@:-tests/}" -q
+# Test runner for the 2-core CI host, where cold XLA:CPU compiles
+# dominate wall-clock (the free-path step programs take minutes each).
+#
+# Strategy (VERDICT r4 item 6):
+#  1. Persistent compile cache in a MACHINE-FINGERPRINTED directory:
+#     XLA:CPU AOT executables SIGILL when loaded under different CPU
+#     features (observed r4 across CI machine migrations); keying the
+#     cache by cpuinfo confines entries to the machine that wrote them.
+#     Warm-cache full-suite runs take a few minutes; cold runs pay the
+#     compiles once.
+#  2. One automatic retry on abnormal death: XLA:CPU can abort() inside
+#     compilation (observed r4 in cache serialization, r5 in
+#     backend_compile itself).  Whatever compiled before the crash is
+#     already in the cache, so the retry is fast and usually clean.
+#  3. axon TPU registration bypassed (a wedged TPU grant otherwise
+#     blocks every new interpreter at startup).
+#
+# Usage: ./run_tests.sh [pytest args]     (default: the whole suite)
+
+set -u
+FP=$( (grep -m1 "model name" /proc/cpuinfo; grep -m1 flags /proc/cpuinfo) \
+      | sha1sum | cut -c1-12)
+export ORBTPU_JAX_CACHE="${ORBTPU_JAX_CACHE:-/tmp/orbtpu_test_xla_cache_$FP}"
+
+run() {
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+      python -m pytest "$@" -q
+}
+
+if [ $# -eq 0 ]; then set -- tests/; fi
+run "$@"
+rc=$?
+if [ $rc -ge 128 ]; then
+  echo "run_tests: abnormal exit rc=$rc (XLA:CPU abort) — retrying once" \
+       "with the warm cache" >&2
+  run "$@"
+  rc=$?
+fi
+exit $rc

@@ -24,13 +24,14 @@ jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
 
-# Persistent compilation cache: DISABLED for the suite.  XLA:CPU AOT
-# executable (de)serialization is unreliable on this machine class —
-# entries written on a host with different CPU features SIGILL on load,
-# and serialization itself can abort() the test process mid-suite (both
-# observed in round 4: "Loading XLA:CPU AOT result ... SIGILL" /
-# "Fatal Python error: Aborted in put_executable_and_time").  Cold
-# compiles cost wall-clock but never crash the suite.
+# Persistent compilation cache: OPT-IN via ORBTPU_JAX_CACHE (the
+# package __init__ reads it).  run_tests.sh sets a MACHINE-FINGERPRINTED
+# cache dir + one auto-retry: XLA:CPU AOT entries SIGILL when loaded
+# under different CPU features, and XLA:CPU can abort() mid-compile
+# (both observed r4/r5) — the fingerprint confines entries to the
+# writing machine and the retry rides the warm cache past a crash.
+# A bare `pytest tests/` run stays cache-less (slow but crash-free
+# compiles).
 
 
 def pytest_configure(config):
