@@ -124,12 +124,15 @@ def test_observation_table_overflow_keeps_first_max_obs():
                    mp_pos=m.mp_pos.at[0].set(jnp.asarray([0., 0., 5.])))
 
     obs_kf, obs_ft, obs_cnt, obs_mask = ms.observation_table(m)
-    # K*N observations of point 0 exist; the table keeps MAX_OBS
+    # K distinct keyframes observe point 0 (duplicate same-KF features
+    # collapse to one observation per keyframe, like the reference's
+    # MapPoint::mObservations map); the table keeps MAX_OBS of them
     assert int(obs_cnt[0]) == ms.MAX_OBS
     assert bool(obs_mask[0].all())
-    # kept observations are the earliest (k, n) pairs: keyframe 0..3
-    kept_kf = np.asarray(obs_kf[0])
-    assert kept_kf.min() == 0 and (kept_kf <= ms.MAX_OBS // N).all()
+    # kept observations are the earliest keyframes, lowest feature index
+    kept_kf = np.sort(np.asarray(obs_kf[0]))
+    assert (kept_kf == np.arange(ms.MAX_OBS)).all()
+    assert (np.asarray(obs_ft[0]) == 0).all()
 
     m2 = ms.update_mappoint_stats(m)
     assert bool(m2.mp_valid[0])
