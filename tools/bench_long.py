@@ -30,7 +30,8 @@ def run_long(n_frames: int = 1248, vga: bool = True, n_features: int = 1024,
              n_levels: int = 8, laps: float = 3.1, r0: float = 1.5,
              dr: float = 0.35, start_max_kf: int = 128,
              block_every: int = 96, seed: int = 2, tex_size: int | None = None,
-             kf_culling: bool = True, verbose: bool = True):
+             kf_culling: bool = True, verbose: bool = True,
+             start_max_frames: int | None = None, min_frames_kf: int = 2):
     """Returns a dict with fps, per-block fps timeline, loop/GBA/reset
     counters, growth events and Sim3-aligned ATE."""
     import jax
@@ -62,18 +63,24 @@ def run_long(n_frames: int = 1248, vga: bool = True, n_features: int = 1024,
     cfg = SlamConfig(
         n_features=n_features, n_levels=n_levels,
         max_kf=start_max_kf, max_mp=start_max_kf * 128,
-        max_frames_between_kf=6, min_frames_between_kf=2,
+        max_frames_between_kf=6, min_frames_between_kf=min_frames_kf,
         init_min_matches=60, enable_loop_closing=True, seed=0,
         enable_kf_culling=kf_culling,
     )
-    runner = FreeRunner(cam, cfg, max_frames=n_frames, auto_grow=True)
+    # start_max_frames < n_frames exercises the trajectory-ring doubling
+    # path (device_loop._maybe_grow: rings double when the frame counter
+    # reaches them) — the KITTI-length ring stress, VERDICT r4 item 8
+    runner = FreeRunner(cam, cfg,
+                        max_frames=start_max_frames or n_frames,
+                        auto_grow=True)
 
     if verbose:
         print(f"bench_long: rendering {n_frames} frames "
               f"({w}x{h})...", file=sys.stderr)
     t_r = time.perf_counter()
-    frames = [np.clip(scene.render(cam, R, t, h=h, w=w)[0],
-                      0, 255).astype(np.uint8) for R, t in poses]
+    frames, _ = synthetic.render_frames_cached(
+        scene, cam, poses, h, w,
+        f"RoomScene(seed={seed},tex={tex_size})", verbose=verbose)
     if verbose:
         print(f"bench_long: rendered in {time.perf_counter() - t_r:.1f}s; "
               "warming up...", file=sys.stderr)
@@ -180,12 +187,25 @@ def main():
     ap.add_argument("--dr", type=float, default=0.35)
     ap.add_argument("--tex", type=int, default=None)
     ap.add_argument("--no-kf-culling", action="store_true")
+    ap.add_argument("--start-frames", type=int, default=None,
+                    help="initial trajectory-ring capacity (< --frames "
+                         "stresses auto ring-doubling)")
+    ap.add_argument("--start-kf", type=int, default=128)
+    ap.add_argument("--minf", type=int, default=2,
+                    help="min frames between keyframes (the zero-read "
+                         "growth bound divisor)")
+    ap.add_argument("--out", default=None, help="also write JSON here")
     args = ap.parse_args()
     res = run_long(n_frames=args.frames, vga=not args.qvga,
                    n_features=args.features, n_levels=args.levels,
                    laps=args.laps, r0=args.r0, dr=args.dr, tex_size=args.tex,
-                   kf_culling=not args.no_kf_culling)
+                   kf_culling=not args.no_kf_culling,
+                   start_max_frames=args.start_frames,
+                   start_max_kf=args.start_kf, min_frames_kf=args.minf)
     print(json.dumps(res))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
 
 
 if __name__ == "__main__":
