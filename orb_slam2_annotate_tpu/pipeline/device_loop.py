@@ -125,7 +125,12 @@ class FreeState(NamedTuple):
 def _empty_frame(n: int) -> Frame:
     return Frame(
         xy=jnp.zeros((n, 2)), xy_raw=jnp.zeros((n, 2)),
-        ur=jnp.full((n,), -1.0), depth=jnp.zeros((n,)),
+        # explicit dtype: jnp.full from a python scalar yields a
+        # weak_type leaf, and a weak/non-weak mismatch between
+        # init_state and evolved states forced a FULL scan-program
+        # recompile on the first real track_*_sequence call (r5: the
+        # 51 s "fps_scan=2.82" artifact was that compile, not execution)
+        ur=jnp.full((n,), -1.0, jnp.float32), depth=jnp.zeros((n,)),
         octave=jnp.zeros((n,), jnp.int32), angle=jnp.zeros((n,)),
         response=jnp.zeros((n,)), desc=jnp.zeros((n, orb.DESC_WORDS), jnp.uint32),
         valid=jnp.zeros((n,), bool),
@@ -148,7 +153,7 @@ def init_state(cfg: SlamConfig, n_words: int, max_frames: int) -> FreeState:
         last_obs=jnp.full((n,), -1, jnp.int32),
         init_f=_empty_frame(n),
         init_fid=jnp.asarray(-1, jnp.int32),
-        init_ts=jnp.asarray(0.0),
+        init_ts=jnp.zeros((), jnp.float32),  # non-weak (see _empty_frame)
         streaks=jnp.zeros((cfg.max_kf,), jnp.int32),
         loop_edge_a=jnp.zeros((MAX_LOOPS,), jnp.int32),
         loop_edge_b=jnp.zeros((MAX_LOOPS,), jnp.int32),
@@ -193,7 +198,10 @@ def make_step(cfg: SlamConfig, jit: bool = True):
     EN_LBA = cfg.enable_local_ba
     EN_KFCULL = cfg.enable_kf_culling
     EN_LOOP = cfg.enable_loop_closing
-    EN_LIVE_GBA = cfg.free_live_gba
+    # static tier gate: live GBA compiles into the step only at tiers
+    # where its closure-frame cost is affordable (SlamConfig docstring);
+    # above the bound finish() runs the deferred GBA fallback instead
+    EN_LIVE_GBA = cfg.free_live_gba and cfg.max_kf <= cfg.free_live_gba_max_kf
     AUTO_RESET = cfg.free_auto_reset
     SEED = cfg.seed
     from .loop_closing import LoopCloserConfig, free_loop_stage

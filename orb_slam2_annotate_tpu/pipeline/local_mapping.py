@@ -181,7 +181,8 @@ def create_new_mappoints(m: ms.MapState, cam: CameraModel, slot,
     """
     K, P, N = m.K, m.P, m.N
     n_neighbors = min(n_neighbors, K - 1)  # small-capacity maps
-    W = ms.covisibility(m)
+    w_row = ms.covis_row(m, slot)  # only W[slot] is needed (r5: full
+    # covisibility cost ~20 ms/call at the bench tier, O(K*P) at growth)
 
     R1, t1 = m.kf_R[slot], m.kf_t[slot]
     c1 = -R1.T @ t1
@@ -196,7 +197,7 @@ def create_new_mappoints(m: ms.MapState, cam: CameraModel, slot,
     base_all = jnp.linalg.norm(cam_c - c1, axis=-1)          # [K]
     base_ok = base_all / jnp.maximum(med_depth_s, 1e-6) > 0.01
 
-    w_slot = jnp.where(m.kf_valid & base_ok, W[slot], -1).at[slot].set(-1)
+    w_slot = jnp.where(m.kf_valid & base_ok, w_row, -1).at[slot].set(-1)
     _, nbrs = jax.lax.top_k(w_slot, n_neighbors)
     nbr_ok = w_slot[nbrs] > 0
     f1 = Frame(
@@ -486,8 +487,7 @@ def fuse_neighbors(m: ms.MapState, cam: CameraModel, slot,
     neighbor)."""
     P = m.P
     n_neighbors = min(n_neighbors, m.K - 1)  # small-capacity maps
-    W = ms.covisibility(m)
-    w_slot = jnp.where(m.kf_valid, W[slot], -1).at[slot].set(-1)
+    w_slot = jnp.where(m.kf_valid, ms.covis_row(m, slot), -1).at[slot].set(-1)
     _, nbrs = jax.lax.top_k(w_slot, n_neighbors)
     nbr_ok = w_slot[nbrs] > 0
     targets = jnp.concatenate([jnp.asarray([slot]), nbrs])       # [T]
@@ -552,18 +552,21 @@ def local_bundle_adjustment(m: ms.MapState, cam: CameraModel, slot,
     K, P, N = m.K, m.P, m.N
     n_opt = min(n_opt, K)        # small-capacity maps
     n_fixed = min(n_fixed, K)
-    W = ms.covisibility(m)
-    w_slot = jnp.where(m.kf_valid, W[slot], -1).at[slot].set(-1)
+    w_slot = jnp.where(m.kf_valid, ms.covis_row(m, slot), -1).at[slot].set(-1)
     _, nb = jax.lax.top_k(w_slot, n_opt - 1)
     opt_kfs = jnp.concatenate([jnp.asarray([slot]), nb])  # [n_opt]
     opt_ok = jnp.concatenate([jnp.asarray([True]), w_slot[nb] > 0])
 
-    O = ms.observation_matrix(m)  # [K, P]
-    opt_rows = O[opt_kfs] & opt_ok[:, None]
-    pts_mask = jnp.any(opt_rows, axis=0) & m.mp_valid  # [P] local points
+    # local point set + fixed frontier WITHOUT the [K,P] observation
+    # matrix (its K*N-update scatter measured ~20 ms/call at the bench
+    # tier and scales with capacity): an n_opt*N scatter for the window's
+    # point mask, then a gather of that mask at every observation
+    pts_mask = ms.point_mask_rows(m, opt_kfs, opt_ok) & m.mp_valid  # [P]
 
     # fixed frontier: other KFs seeing local points
-    sees_local = (O.astype(jnp.float32) @ pts_mask.astype(jnp.float32)) > 0
+    all_ok = (m.kf_obs >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    sees_local = jnp.any(
+        pts_mask[jnp.clip(m.kf_obs, 0)] & all_ok, axis=1)  # [K]
     is_opt = jnp.zeros((K,), bool).at[opt_kfs].max(opt_ok)
     fixed_cand = sees_local & m.kf_valid & ~is_opt
     _, fx = jax.lax.top_k(fixed_cand.astype(jnp.int32), n_fixed)
@@ -682,8 +685,7 @@ def cull_keyframes(m: ms.MapState, protect_slot,
     obs_kf, obs_ft, obs_cnt, obs_mask = ms.observation_table(m)
     obs_oct = m.kf_octave[obs_kf, obs_ft]  # [P, MAX_OBS]
 
-    W = ms.covisibility(m)
-    w_slot = jnp.where(m.kf_valid, W[protect_slot], -1)
+    w_slot = jnp.where(m.kf_valid, ms.covis_row(m, protect_slot), -1)
     w_slot = w_slot.at[protect_slot].set(-1)
     _, win = jax.lax.top_k(w_slot, C_WIN)                 # [C_WIN] slots
     win_ok = w_slot[win] > 0
@@ -733,12 +735,13 @@ def cull_keyframes(m: ms.MapState, protect_slot,
     kf_obs = jnp.where(row_clear[:, None], -1, m.kf_obs)
 
     # reparent info: strongest surviving covisible of each dropped KF
-    # (falls back to the newest surviving keyframe)
-    W = ms.covisibility(m)
+    # (falls back to the newest surviving keyframe).  Only the <=max_cull
+    # dropped rows of W are needed — covis_rows, not the full matrix.
+    W_drop = ms.covis_rows(m, drop, drop_ok)     # [max_cull, K]
     newest_valid = jnp.argmax(jnp.where(kf_valid, fid, -1))
 
-    def reparent(d):
-        w_row = jnp.where(kf_valid, W[d], -1)
+    def reparent(d, w_d):
+        w_row = jnp.where(kf_valid, w_d, -1)
         ref = jnp.argmax(w_row)
         ref = jnp.where(w_row[ref] > 0, ref, newest_valid).astype(jnp.int32)
         R_old, t_old = m.kf_R[d], m.kf_t[d]
@@ -747,7 +750,7 @@ def cull_keyframes(m: ms.MapState, protect_slot,
         t_rel = t_old - R_rel @ t_new
         return ref, R_rel, t_rel
 
-    new_ref, R_rel, t_rel = jax.vmap(reparent)(drop)
+    new_ref, R_rel, t_rel = jax.vmap(reparent)(drop, W_drop)
     info = CullInfo(drop.astype(jnp.int32), drop_ok, new_ref, R_rel, t_rel)
 
     m = m._replace(kf_valid=kf_valid, kf_obs=kf_obs)
@@ -808,10 +811,8 @@ def window_touched_points(m: ms.MapState, slot) -> jnp.ndarray:
     only by culled keyframes must get their stats refreshed too."""
     K = m.K
     n_win = min(24, K)
-    W = ms.covisibility(m)
-    w_slot = jnp.where(m.kf_valid, W[slot], -1).at[slot].set(-1)
+    w_slot = jnp.where(m.kf_valid, ms.covis_row(m, slot), -1).at[slot].set(-1)
     _, nb = jax.lax.top_k(w_slot, n_win - 1)
     kfs = jnp.concatenate([jnp.asarray([slot]), nb])
     ok = jnp.concatenate([jnp.asarray([True]), w_slot[nb] > 0])
-    O = ms.observation_matrix(m)
-    return jnp.any(O[kfs] & ok[:, None], axis=0)
+    return ms.point_mask_rows(m, kfs, ok)

@@ -80,8 +80,10 @@ def detect_loop_device(vocab, db_bows, m: ms.MapState, slot,
     """
     K = m.K
     bow = voc.bow_vector(vocab, m.kf_desc[slot], m.kf_feat_valid[slot])
-    W = ms.covisibility(m)
-    covis_row = W[slot]
+    # only W[slot] and the <=8 candidate rows are needed — this runs on
+    # EVERY keyframe inside the free-path chain, and the full-W build
+    # measured ~20 ms at the bench tier (O(K*P) at grown tiers, r5)
+    covis_row = ms.covis_row(m, slot)
     covis_mask = (covis_row > 0).at[slot].set(True)
 
     # minScore = lowest BoW similarity among covisible neighbors
@@ -107,7 +109,8 @@ def detect_loop_device(vocab, db_bows, m: ms.MapState, slot,
         voc.KeyFrameDatabase(db_bows), bow, m.kf_valid, exclude, min_score
     )
     return LoopDetectOut(
-        db_bows.at[slot].set(bow), slots, ok, W[slots].astype(jnp.int32)
+        db_bows.at[slot].set(bow), slots, ok,
+        ms.covis_rows(m, slots, ok).astype(jnp.int32)
     )
 
 

@@ -88,6 +88,14 @@ class SlamConfig:
     # — in-program global BA after each live closure (LoopClosing.cc:756)
     # and the auto-reset-after-early-loss branch (Tracking.cc:496-504)
     free_live_gba: bool = True
+    # tier bound for in-program GBA: full-map BA cost grows ~K*N edges x
+    # P points, and at K=640 one closure's live GBA measured minutes
+    # (r5 long run, block fps 6.3 -> 0.3) — beyond this keyframe tier
+    # the per-frame program skips the branch and finish() runs the
+    # reference's deferred refinement instead (RunGlobalBundleAdjustment
+    # runs asynchronously in the reference too; tracking never waits on
+    # it, LoopClosing.cc:678,756)
+    free_live_gba_max_kf: int = 256
     free_auto_reset: bool = True
     # shard the map-point axis of the WHOLE live pipeline over the device
     # mesh (SURVEY §2.3 final row): every per-keyframe program (tracking

@@ -26,7 +26,8 @@ from ..geometry.camera import CameraModel, in_image, project
 from ..ops import matching
 from ..ops.hamming import MAX_DIST
 from ..solvers import pose_opt
-from ..worldmap.map_state import MapState, observation_matrix
+from ..worldmap import map_state as ms
+from ..worldmap.map_state import MapState
 from .frame import Frame
 
 SCALE = 1.2
@@ -147,17 +148,22 @@ def track_local_map(cam: CameraModel, m: MapState, frame: Frame, R, t, obs,
     max_local_kf = min(max_local_kf, m.K)    # small-capacity maps
     max_local_pts = min(max_local_pts, P)
 
-    # --- local keyframes by shared-point votes
+    # --- local keyframes by shared-point votes.  votes[k] =
+    # |obs_k ∩ cur_pts| as a gather of the current-point mask at every
+    # observation — the [K,P] observation-matrix build this replaces is
+    # a K*N-update scatter (~20 ms/call at the r5 bench tier, O(K*P) at
+    # grown tiers) and ran EVERY frame here
     cur_pts = jnp.zeros((P,), bool).at[jnp.clip(obs, 0)].max(obs >= 0)
-    O = observation_matrix(m)  # [K,P]
-    votes = (O.astype(jnp.float32) @ cur_pts.astype(jnp.float32))  # [K]
+    all_ok = (m.kf_obs >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    votes = jnp.sum(cur_pts[jnp.clip(m.kf_obs, 0)] & all_ok,
+                    axis=1).astype(jnp.float32)           # [K]
     votes = jnp.where(m.kf_valid, votes, -1.0)
     top_votes, local_kf = jax.lax.top_k(votes, max_local_kf)
     kf_sel = top_votes > 0  # [LK]
     n_local_kf = jnp.sum(kf_sel)
 
     # --- local points = union of those keyframes' observations
-    local_mask = jnp.any(O[local_kf] & kf_sel[:, None], axis=0)  # [P]
+    local_mask = ms.point_mask_rows(m, local_kf, kf_sel)  # [P]
     local_mask &= m.mp_valid & ~cur_pts
 
     # --- frustum / viewing cone / scale band (isInFrustum)

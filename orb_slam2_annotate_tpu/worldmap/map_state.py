@@ -139,6 +139,54 @@ def covisibility(m: MapState, O: jnp.ndarray | None = None) -> jnp.ndarray:
     return W * (1 - jnp.eye(m.K, dtype=jnp.int32))
 
 
+def point_mask_rows(m: MapState, rows: jnp.ndarray,
+                    rows_ok: jnp.ndarray) -> jnp.ndarray:
+    """[P] bool: union of the map points observed by `rows` ([S] slots,
+    gated by rows_ok).  An S*N scatter — O(S) of observation_matrix's
+    K*N scatter, which measured ~20 ms at the r5 bench tier (and grows
+    linearly with capacity); every per-keyframe chain stage that only
+    needs a window's point set uses this instead."""
+    obs = m.kf_obs[rows]                                   # [S,N]
+    ok = ((obs >= 0) & m.kf_feat_valid[rows]
+          & (rows_ok & m.kf_valid[rows])[:, None])
+    return jnp.zeros((m.P,), bool).at[
+        jnp.where(ok, jnp.clip(obs, 0, m.P - 1), 0).reshape(-1)
+    ].max(ok.reshape(-1))
+
+
+def covis_rows(m: MapState, rows: jnp.ndarray,
+               rows_ok: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Selected ROWS of the covisibility matrix without building O or W:
+    [S, K] i32 shared-point counts, self-columns zeroed (matching
+    covisibility()'s zeroed diagonal).
+
+    Per row: a [P] membership mask (N-element scatter) gathered at every
+    observation ([S, K, N] gather) and summed — O(S*(N + K*N)) and
+    INDEPENDENT of P, vs observation_matrix's K*N-update scatter + a
+    [K,P]x[P,K] matmul.  The duplicate-collapsed kf_obs invariant (one
+    observation per (keyframe, point), ops/orb.py observation semantics)
+    makes the per-observation count equal the shared-point count."""
+    S = rows.shape[0]
+    obs = m.kf_obs[rows]                                   # [S,N]
+    ok = ((obs >= 0) & m.kf_feat_valid[rows]
+          & (m.kf_valid[rows] if rows_ok is None
+             else rows_ok & m.kf_valid[rows])[:, None])
+    pm = jnp.zeros((S, m.P), jnp.int8).at[
+        jnp.arange(S)[:, None], jnp.where(ok, jnp.clip(obs, 0, m.P - 1), 0)
+    ].max(ok.astype(jnp.int8))                             # [S,P]
+    all_ok = (m.kf_obs >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    hit = pm[:, jnp.clip(m.kf_obs, 0, m.P - 1)]            # [S,K,N]
+    W_rows = jnp.sum(
+        jnp.where(all_ok[None], hit, 0).astype(jnp.int32), axis=-1)
+    return W_rows.at[jnp.arange(S), rows].set(0)
+
+
+def covis_row(m: MapState, slot) -> jnp.ndarray:
+    """One covisibility row W[slot] as a [K] i32 vector (see covis_rows)."""
+    return covis_rows(m, jnp.asarray(slot, jnp.int32)[None],
+                      jnp.asarray(True)[None])[0]
+
+
 def spanning_tree_parents(m: MapState, W: jnp.ndarray | None = None) -> jnp.ndarray:
     """parent[k] = earlier KF with max covisibility (-1 for roots)."""
     if W is None:

@@ -64,6 +64,24 @@ def test_observation_and_covisibility():
     assert int(counts[0]) == 1
     assert int(counts[30]) == 0
 
+    # row-wise equivalents (r5 hot-path replacements for the full
+    # [K,P] scatter + [K,K] matmul) must agree with the full builds
+    for s in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(ms.covis_row(m, s)), np.asarray(W[s]))
+    rows = jnp.asarray([2, 0], jnp.int32)
+    ok = jnp.asarray([True, True])
+    np.testing.assert_array_equal(
+        np.asarray(ms.covis_rows(m, rows, ok)), np.asarray(W)[[2, 0]])
+    # gated-off rows come back zero
+    np.testing.assert_array_equal(
+        np.asarray(ms.covis_rows(m, rows, jnp.asarray([True, False]))[1]),
+        np.zeros(m.K, np.int32))
+    # point_mask_rows = union of the selected O rows
+    np.testing.assert_array_equal(
+        np.asarray(ms.point_mask_rows(m, rows, ok)),
+        np.asarray(O)[[2, 0]].any(0))
+
 
 def test_update_mappoint_stats_descriptor_median():
     m = small_map()
