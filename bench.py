@@ -409,7 +409,7 @@ def main():
                          "no long run)")
     ap.add_argument("--long-frames", type=int, default=1248)
     ap.add_argument("--long-budget", type=float, default=float(
-        os.environ.get("ORBTPU_LONG_BUDGET_S", 240.0)))
+        os.environ.get("ORBTPU_LONG_BUDGET_S", 180.0)))
     args = ap.parse_args()
 
     import jax
